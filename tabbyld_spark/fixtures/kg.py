@@ -224,13 +224,18 @@ def build_kg(seed: int = 42) -> KG:
     relate("team", [(p, rng.choice(teams)) for p in soccer])
     relate("country", [(c, rng.choice(countries)) for c in cities + towns])
     relate("sourceCountry", [(r, rng.choice(countries)) for r in rivers])
-    # homonym-city context: each homonym city is in a country and hosts a company
+    # homonym-city context: each homonym city sits in a country (the homonym
+    # person deliberately stays OUT of the page-generation pools — it exists
+    # only as a KG distractor for disambiguation)
     for nm, c, p in homonyms:
         co = rng.choice(countries)
         trip.append((c, DBO + "country", co))
         rel["country"].append((c, co))
         trip.append((p, DBO + "birthPlace", rng.choice(cities)))
-        rel["birthPlace"].append((p, rng.choice(cities)))
+    # rdf:type edges live in kg_triples too (as in DBpedia) — the reference's
+    # parent-class query (P15) takes any property's dbo:-prefixed object
+    for u, cls_uri in types_rows:
+        trip.append((u, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", cls_uri))
     # extra noise edges
     for _ in range(1500):
         s = rng.choice(list(names))

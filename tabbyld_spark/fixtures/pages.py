@@ -224,9 +224,11 @@ def gen_pages_pd(kg: KG, n_pages: int = 200, seed: int = 42, typo_rate: float = 
                     )
                     cea.add((table_id, "DATA", data_val, gold_entity))
                 cea.add((table_id, "ROW", key_name, key_entity))
-            # column headings that match a KG class label get heading gold
+            # data-column headings that match a KG class label get heading
+            # gold (the key column's header is not a ColumnHeading in
+            # canonical form, so headers[0] is excluded)
             from tabbyld_spark.fixtures.kg import CLASS_TREE
-            for hdr in headers:
+            for hdr in headers[1:]:
                 if hdr in CLASS_TREE:
                     cea.add((table_id, "COL", hdr, DBO + hdr))
 

@@ -1,0 +1,102 @@
+"""Candidate entity generation (P7/P8) + Levenshtein feature (P9).
+
+Reference behavior (/root/reference/commands/SpreadsheetController.php:80-125):
+a SPARQL `contains(str(?subject), '<normalized value>')` scan over DBpedia
+with LIMIT 100.  At 10^12-document scale a substring scan is a cross product,
+so the Spark-first design replaces it with:
+
+  * exact blocking: broadcast hash join mention_norm == kg_labels.surface_form
+    (covers clean mentions AND homonyms — all homonym entities share the
+    surface form, like the reference's substring match over disambiguated URIs)
+  * fuzzy blocking (typos): MinHash-LSH over character 3-grams, then exact
+    Levenshtein rescoring (operators/fuzzy.py) — replaces the regex-contains
+    branch (SpreadsheetController.php:91) without the O(mentions × entities)
+    scan
+
+Literal shortcut (P7, CanonicalTableAnnotator.php:1061-1098): mentions whose
+NER label is NUMBER/PERCENT/MONEY/DATE/TIME are annotated directly with the
+fixed DBpedia instance at aggregated_rank = 1 and skip candidate search.
+
+Per-mention candidate cap = 100, ordered by (levenshtein asc, entity asc) for
+determinism (the reference's LIMIT 100 is endpoint-order nondeterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tabbyld_spark.fixtures.kg import NER_INSTANCE
+from tabbyld_spark.functions.normalize import entity_localname
+
+CANDIDATE_CAP = 100
+LITERAL_LABELS = list(NER_INSTANCE)
+
+
+def split_literal_mentions(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(literal-annotated rows with entity+agg_rank, remaining mentions)."""
+    is_lit = F.col("ner").isin(LITERAL_LABELS)
+    lit_map = F.create_map(
+        *[F.lit(x) for kv in NER_INSTANCE.items() for x in kv]
+    )
+    literals = mentions.filter(is_lit).select(
+        "table_id",
+        "col_role",
+        "mention",
+        "mention_norm",
+        "ner",
+        lit_map[F.col("ner")].alias("entity"),
+        F.lit(1.0).alias("agg_rank"),
+    )
+    return literals, mentions.filter(~is_lit)
+
+
+def exact_candidates(mentions: DataFrame, kg_labels: DataFrame) -> DataFrame:
+    """Broadcast join on the normalized surface form."""
+    lab = kg_labels.select(
+        F.col("surface_form").alias("mention_norm"), F.col("entity")
+    )
+    return mentions.join(F.broadcast(lab), "mention_norm")
+
+
+def with_levenshtein(cands: DataFrame) -> DataFrame:
+    """P9: levenshtein(normalized mention, entity localname)
+    (CanonicalTableAnnotator.php:223-237)."""
+    return cands.withColumn(
+        "lev", F.levenshtein(F.col("mention_norm"), entity_localname("entity"))
+    )
+
+
+def cap_candidates(cands: DataFrame, cap: int = CANDIDATE_CAP) -> DataFrame:
+    w = Window.partitionBy("table_id", "col_role", "mention").orderBy(
+        F.asc("lev"), F.asc("entity")
+    )
+    return (
+        cands.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+
+
+def generate_candidates(
+    mentions: DataFrame,
+    kg_labels: DataFrame,
+    fuzzy: DataFrame | None = None,
+    cap: int = CANDIDATE_CAP,
+) -> tuple[DataFrame, DataFrame]:
+    """→ (literal annotations, capped scored candidates).
+
+    ``fuzzy``: optional (table_id, col_role, mention, entity) pairs from the
+    LSH blocker, unioned in before rescoring.
+    """
+    literals, rest = split_literal_mentions(mentions)
+    cands = exact_candidates(rest, kg_labels)
+    if fuzzy is not None:
+        extra = fuzzy.join(
+            rest.select("table_id", "col_role", "mention", "mention_norm", "ner", "heading_labels"),
+            ["table_id", "col_role", "mention"],
+        )
+        cands = cands.select(extra.columns).unionByName(extra).dropDuplicates(
+            ["table_id", "col_role", "mention", "entity"]
+        )
+    return literals, cap_candidates(with_levenshtein(cands), cap)

@@ -1,0 +1,214 @@
+"""Feature scoring (P10-P17) — the reference's five heuristic features as
+joins + aggregations over the wide ``candidates`` DataFrame.
+
+Candidate schema in: (table_id, col_role, mention, mention_norm, ner,
+heading_labels, entity, lev).  Each feature adds one column; aggregation
+(P18/P19) is a single arithmetic expression at the end.
+
+Scale notes: kg_types / kg_subclass / the NER-class map broadcast; the
+semantic-similarity pair voting (P16) is quadratic per table — bounded by the
+candidate cap — and shuffles on table_id only, so AQE skew-join splitting
+handles hot tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tabbyld_spark.fixtures.kg import DBO, DBR, NER_CLASS
+from tabbyld_spark.functions.normalize import entity_localname
+
+_KEY = ["table_id", "col_role", "mention", "entity"]
+
+
+def ner_class_rank(cands: DataFrame, kg_types: DataFrame, kg_subclass: DataFrame) -> DataFrame:
+    """P10 (CanonicalTableAnnotator.php:424-457): the SPARQL property path
+    ``<e> rdf:type/rdfs:subClassOf* ?i . ?i rdfs:subClassOf* <NerClass>``
+    counts every class C with type(e) ⊑* C ⊑* NerClass (with multiplicity
+    over types); depth = count/2; rank = (int)(1/depth) — i.e. int(2/count).
+    """
+    ner_map = cands.sparkSession.createDataFrame(
+        [(label, cls) for label, cls in NER_CLASS.items()], ["ner", "ner_class"]
+    )
+    up = kg_subclass.select(F.col("child").alias("class"), F.col("parent").alias("mid"))
+    up2 = kg_subclass.select(F.col("child").alias("mid"), F.col("parent").alias("ner_class"))
+    paths = (
+        cands.select(*_KEY, "ner")
+        .join(F.broadcast(ner_map), "ner")
+        .join(kg_types, "entity")
+        .join(F.broadcast(up), "class")
+        .join(F.broadcast(up2), ["mid", "ner_class"])
+        .groupBy(*_KEY)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("ner_rank", F.floor(F.lit(2) / F.col("_n")).cast("double"))
+        .select(*_KEY, "ner_rank")
+    )
+    return cands.join(paths, _KEY, "left").fillna({"ner_rank": 0.0})
+
+
+def heading_rank(cands: DataFrame, kg_types: DataFrame) -> DataFrame:
+    """P11 (CanonicalTableAnnotator.php:466-505): min Levenshtein between any
+    dbo: class localname of the candidate and any (normalized) heading label
+    of the mention's winning row; 100 when no classes/labels."""
+    has = cands.filter(F.size("heading_labels") > 0)
+    rest = cands.filter(~(F.size("heading_labels") > 0))
+    scored = (
+        has.select(*_KEY, F.explode("heading_labels").alias("hl"))
+        .join(kg_types.filter(F.col("class").startswith(DBO)), "entity")
+        .withColumn("_d", F.levenshtein(entity_localname("class"), F.col("hl")))
+        .groupBy(*_KEY)
+        .agg(F.least(F.min("_d"), F.lit(100)).cast("double").alias("heading_rank"))
+    )
+    out = has.join(scored, _KEY, "left").unionByName(rest, allowMissingColumns=True)
+    return out.fillna({"heading_rank": 100.0})
+
+
+def entity_context(cands: DataFrame, kg_triples: DataFrame) -> DataFrame:
+    """P13 (CanonicalTableAnnotator.php:689-725): multiset of dbo/dbr
+    neighbours (both directions, dbo/dbr predicates only) per candidate
+    entity, pre-aggregated to counts: (entity, ctx_local, m)."""
+    ents = cands.select("entity").distinct()
+    pred_ok = F.col("pred").startswith(DBO) | F.col("pred").startswith(DBR)
+    outgoing = (
+        kg_triples.filter(pred_ok & (F.col("obj").startswith(DBO) | F.col("obj").startswith(DBR)))
+        .join(ents, kg_triples.subj == ents.entity)
+        .select("entity", F.col("obj").alias("ctx"))
+    )
+    incoming = (
+        kg_triples.filter(pred_ok & (F.col("subj").startswith(DBO) | F.col("subj").startswith(DBR)))
+        .join(ents, kg_triples.obj == ents.entity)
+        .select("entity", F.col("subj").alias("ctx"))
+    )
+    return (
+        outgoing.unionByName(incoming)
+        .withColumn("ctx_local", entity_localname("ctx"))
+        .groupBy("entity", "ctx_local")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+
+
+def context_similarity(
+    cands: DataFrame, entry_ctx: DataFrame, ent_ctx: DataFrame
+) -> DataFrame:
+    """P14 (CanonicalTableAnnotator.php:733-812): count of exact string
+    matches (levenshtein == 0 ⇒ equality) between the mention's entry context
+    (raw neighbouring DATA values, with multiplicity) and the candidate's
+    entity-context localnames.  Σ n·m via a join on the value itself.
+    Applies to DATA mentions only; heading roles get 0."""
+    overlap = (
+        cands.filter(F.col("col_role") == "DATA")
+        .select(*_KEY)
+        .join(entry_ctx, ["table_id", "mention"])
+        .join(
+            ent_ctx.withColumnRenamed("ctx_local", "ctx_value"),
+            ["entity", "ctx_value"],
+        )
+        .groupBy(*_KEY)
+        .agg(F.sum(F.col("n") * F.col("m")).cast("double").alias("ctx_rank"))
+    )
+    return cands.join(overlap, _KEY, "left").fillna({"ctx_rank": 0.0})
+
+
+def parent_classes(cands: DataFrame, kg_triples: DataFrame) -> DataFrame:
+    """P15 (CanonicalTableAnnotator.php:191-215): dbo:-prefixed objects of any
+    property of the candidate → (entity, pclass), deduped."""
+    ents = cands.select("entity").distinct()
+    return (
+        kg_triples.filter(F.col("obj").startswith(DBO))
+        .join(ents, kg_triples.subj == ents.entity)
+        .select("entity", F.col("obj").alias("pclass"))
+        .distinct()
+    )
+
+
+def semantic_similarity(cands: DataFrame, pclasses: DataFrame) -> DataFrame:
+    """P16 (CanonicalTableAnnotator.php:513-623): cross-cell candidate class
+    voting within each table.
+
+    For each DATA candidate a and every candidate b of a *different* mention
+    in the same table (both having parent classes): vote for a's parent class
+    with the minimum Levenshtein distance to any of b's parent classes
+    (deterministic tiebreak: lexicographically-first class — the reference's
+    first-wins over an endpoint-ordered list is nondeterministic, documented
+    delta).  rank = top vote count / 10^k where 10^k brackets the max vote
+    count among the mention's candidates (:586-593); 0 when no votes.
+    """
+    base = cands.filter(F.col("col_role") == "DATA").select(
+        "table_id", "mention", "entity"
+    )
+    a = (
+        base.join(pclasses, "entity")
+        .select("table_id", F.col("mention").alias("a_m"), F.col("entity").alias("a_e"), F.col("pclass").alias("a_c"))
+    )
+    b = (
+        base.join(pclasses, "entity")
+        .select("table_id", F.col("mention").alias("b_m"), F.col("entity").alias("b_e"), F.col("pclass").alias("b_c"))
+    )
+    pairs = a.join(b, "table_id").filter(F.col("a_m") != F.col("b_m"))
+    dist = pairs.withColumn(
+        "_d", F.levenshtein(entity_localname("a_c"), entity_localname("b_c"))
+    )
+    # min distance of a_c to ANY of b's classes, per (a-candidate, b-candidate)
+    per_ac = dist.groupBy("table_id", "a_m", "a_e", "b_m", "b_e", "a_c").agg(
+        F.min("_d").alias("_md")
+    )
+    sel_w = Window.partitionBy("table_id", "a_m", "a_e", "b_m", "b_e").orderBy(
+        F.asc("_md"), F.asc("a_c")
+    )
+    selected = per_ac.withColumn("_rn", F.row_number().over(sel_w)).filter(
+        F.col("_rn") == 1
+    )
+    votes = selected.groupBy("table_id", "a_m", "a_e", "a_c").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    top = votes.groupBy("table_id", "a_m", "a_e").agg(F.max("v").alias("top_v"))
+    # coefficient bracket per mention from the max vote among its candidates
+    coeff = top.groupBy("table_id", "a_m").agg(F.max("top_v").alias("max_v"))
+    # brackets 10/100/1000/10000 exactly as :586-593; max_v ≥ 10000 leaves the
+    # coefficient 0 in the reference → rank 0 (quirk preserved)
+    coeff = coeff.withColumn(
+        "coef",
+        F.when(
+            (F.col("max_v") >= 1) & (F.col("max_v") < 10000),
+            F.pow(F.lit(10.0), F.ceil(F.log10(F.col("max_v") + 0.5))),
+        ).otherwise(F.lit(0.0)),
+    )
+    ranked = (
+        top.join(coeff, ["table_id", "a_m"])
+        .withColumn(
+            "sem_rank",
+            F.when(F.col("coef") != 0, F.col("top_v") / F.col("coef")).otherwise(F.lit(0.0)),
+        )
+        .select(
+            F.col("table_id"),
+            F.col("a_m").alias("mention"),
+            F.col("a_e").alias("entity"),
+            "sem_rank",
+        )
+        .withColumn("col_role", F.lit("DATA"))
+    )
+    return cands.join(ranked, _KEY, "left").fillna({"sem_rank": 0.0})
+
+
+def relationship_rank(cands: DataFrame, kg_triples: DataFrame) -> DataFrame:
+    """P17 (CanonicalTableAnnotator.php:245-372): count of KG triples
+    ``<candA> ?p <candB>`` where candB belongs to a different mention of the
+    same table.  Disabled (weight ≡ 1) in the reference's final aggregation
+    (:410) but implemented — it is the CPA signal."""
+    base = cands.select("table_id", "col_role", "mention", "entity")
+    b = base.select(
+        "table_id", F.col("mention").alias("b_m"), F.col("entity").alias("b_e")
+    )
+    hits = (
+        base.join(kg_triples, base.entity == kg_triples.subj)
+        .join(
+            b,
+            (F.col("obj") == F.col("b_e"))
+            & (base.table_id == b.table_id)
+            & (F.col("mention") != F.col("b_m")),
+        )
+        .groupBy(base.table_id, "col_role", "mention", "entity")
+        .agg(F.count(F.lit(1)).cast("double").alias("rel_rank"))
+    )
+    return cands.join(hits, _KEY, "left").fillna({"rel_rank": 0.0})

@@ -1,0 +1,103 @@
+"""End-to-end KG-construction pipeline (BASELINE.json north_star stages).
+
+  S1 pages → text + table regions   (extract, pandas UDF — the only Python)
+  S2 canonicalize + mentions + NER  (explode / window / broadcast join)
+  S3 candidate generation           (broadcast exact + LSH fuzzy blocking)
+  S4 feature scoring                (joins + aggs, P9-P17)
+  S5 CEA / CTA / CPA                (window top-1 + vote aggs, P18-P20)
+  S6 triple emission                (P24)
+
+The reference executes these as hard-coded PHP calls with process fan-out and
+DB-polling barriers (/root/reference/components/CanonicalTableAnnotator.php:
+1019-1299); here each stage is a DataFrame transformation and every barrier
+is a shuffle boundary Catalyst schedules.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tabbyld_spark.extract.html import extract_pages
+from tabbyld_spark.functions.ner import attach_ner, build_gazetteer
+from tabbyld_spark.operators import features as FT
+from tabbyld_spark.operators.aggregate import aggregate_ranks, cea_top1, cpa_vote, cta_vote
+from tabbyld_spark.operators.candidates import generate_candidates
+from tabbyld_spark.operators.canonical import tables_to_canonical
+from tabbyld_spark.operators.mentions import all_mentions, entry_context
+from tabbyld_spark.operators.triples import emit_triples
+
+
+@dataclass
+class AnnotationResult:
+    canonical: DataFrame
+    mentions: DataFrame
+    candidates: DataFrame
+    cea: DataFrame
+    cta: DataFrame
+    cpa: DataFrame
+    triples: DataFrame
+
+
+def annotate_canonical(
+    canonical: DataFrame,
+    kg: dict[str, DataFrame],
+    provided_ner: bool = False,
+    fuzzy_enabled: bool = True,
+) -> AnnotationResult:
+    """Annotate canonical tables against the KG (S2-S6)."""
+    mentions = all_mentions(canonical, provided_ner=provided_ner)
+    if not provided_ner:
+        gaz = build_gazetteer(kg["kg_labels"], kg["kg_types"], kg["kg_subclass"])
+        mentions = attach_ner(mentions, gaz)
+    # cut lineage at stage boundaries: the mention/candidate sets feed
+    # several downstream joins each — without a checkpoint the reused subplan
+    # re-optimizes and re-executes per consumer and the plan tree explodes
+    mentions = mentions.localCheckpoint()
+
+    fuzzy = None
+    if fuzzy_enabled:
+        from tabbyld_spark.operators.fuzzy import lsh_fuzzy_candidates
+
+        fuzzy = lsh_fuzzy_candidates(mentions, kg["kg_labels"])
+    literals, cands = generate_candidates(mentions, kg["kg_labels"], fuzzy=fuzzy)
+    cands = FT.ner_class_rank(cands, kg["kg_types"], kg["kg_subclass"])
+    cands = FT.heading_rank(cands, kg["kg_types"])
+    cands = cands.localCheckpoint()
+
+    ectx = entry_context(canonical)
+    kctx = FT.entity_context(cands, kg["kg_triples"])
+    cands = FT.context_similarity(cands, ectx, kctx)
+    pcl = FT.parent_classes(cands, kg["kg_triples"])
+    cands = FT.semantic_similarity(cands, pcl)
+
+    scored = aggregate_ranks(cands)
+    cea = cea_top1(scored, literals).localCheckpoint()
+    cta = cta_vote(cea, canonical, kg["kg_types"])
+    cpa = cpa_vote(cea, canonical, kg["kg_triples"])
+    triples = emit_triples(cea, cta, cpa)
+    return AnnotationResult(canonical, mentions, scored, cea, cta, cpa, triples)
+
+
+def annotate_pages(
+    pages: DataFrame,
+    kg: dict[str, DataFrame],
+    fuzzy_enabled: bool = True,
+) -> AnnotationResult:
+    """Full S1-S6 from the raw pages table."""
+    extracted = extract_pages(pages)
+    canonical = tables_to_canonical(extracted).localCheckpoint()
+    return annotate_canonical(
+        canonical, kg, provided_ner=False, fuzzy_enabled=fuzzy_enabled
+    )
+
+
+def pipeline_metrics(result: AnnotationResult) -> DataFrame:
+    """Per-table lineage/metrics rows (S8): cell/mention/candidate/triple
+    counts at table grain."""
+    m = result.mentions.groupBy("table_id").agg(F.count(F.lit(1)).alias("n_mentions"))
+    c = result.candidates.groupBy("table_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+    a = result.cea.groupBy("table_id").agg(F.count(F.lit(1)).alias("n_annotated"))
+    return m.join(c, "table_id", "left").join(a, "table_id", "left").fillna(0)

@@ -1,0 +1,70 @@
+"""Golden end-to-end gate: full pages→triples pipeline vs gold annotations.
+
+BASELINE.md targets: CEA/CTA/CPA precision & recall ≥ 0.95; per-row
+byte-identical extracted text; determinism under repartitioning.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tabbyld_spark.operators.evaluate import evaluate_cea, evaluate_cpa, evaluate_cta
+from tabbyld_spark.plans.pipeline import annotate_canonical, annotate_pages, pipeline_metrics
+
+
+@pytest.fixture(scope="module")
+def result(spark, kg_spark, pages_fx):
+    pages = spark.createDataFrame(pages_fx.pages)
+    return annotate_pages(pages, kg_spark, fuzzy_enabled=True)
+
+
+def test_cea_gate(spark, result, pages_fx):
+    m = evaluate_cea(result.cea, spark.createDataFrame(pages_fx.gold_cea))
+    assert m["precision"] >= 0.95, m
+    assert m["recall"] >= 0.95, m
+
+
+def test_cta_gate(spark, result, pages_fx):
+    m = evaluate_cta(result.cta, spark.createDataFrame(pages_fx.gold_cta))
+    assert m["precision"] >= 0.95, m
+    assert m["recall"] >= 0.95, m
+
+
+def test_cpa_gate(spark, result, pages_fx):
+    m = evaluate_cpa(result.cpa, spark.createDataFrame(pages_fx.gold_cpa))
+    assert m["precision"] >= 0.95, m
+    assert m["recall"] >= 0.95, m
+
+
+def test_triples_nonempty_and_valid(result):
+    t = result.triples
+    assert t.count() > 0
+    assert t.filter(F.col("subj").isNull() | F.col("pred").isNull() | F.col("obj").isNull()).count() == 0
+
+
+def test_metrics_rows(result):
+    m = pipeline_metrics(result)
+    assert m.count() > 0
+    assert m.filter(F.col("n_mentions") <= 0).count() == 0
+
+
+def test_pipeline_deterministic_under_repartition(spark, kg_spark, pages_fx):
+    """Result invariant to input partitioning + shuffle width (catches
+    nondeterministic top-1 ties the reference has)."""
+    pdf = pages_fx.pages.head(30)
+    a = annotate_pages(spark.createDataFrame(pdf).repartition(1), kg_spark)
+    b = annotate_pages(spark.createDataFrame(pdf).repartition(13), kg_spark)
+    ta = sorted(map(tuple, a.triples.collect()))
+    tb = sorted(map(tuple, b.triples.collect()))
+    assert ta == tb
+
+
+def test_provided_ner_parity_mode(spark, kg_spark, pages_fx):
+    """Reference-input mode: canonical + NER sheets in (no HTML), same gate."""
+    canonical = spark.createDataFrame(pages_fx.canonical)
+    res = annotate_canonical(canonical, kg_spark, provided_ner=True)
+    gold = spark.createDataFrame(
+        pages_fx.gold_cea[pages_fx.gold_cea.col_role == "DATA"]
+    )
+    m = evaluate_cea(res.cea.filter(F.col("col_role") == "DATA"), gold)
+    assert m["precision"] >= 0.95, m
+    assert m["recall"] >= 0.95, m
