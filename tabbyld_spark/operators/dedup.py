@@ -1,0 +1,165 @@
+"""Deduplication operators for a large-scale training-data pipeline.
+
+Five strategies, cheapest to richest:
+  * exact           hash-groupBy on the text fingerprint (one shuffle)
+  * n-gram Jaccard  shingle explode → inverted-index self-join → set overlap
+  * MinHash-LSH     pyspark.ml MinHashLSH band-bucket blocking (approx)
+  * SimHash         portable 32-bit simhash from md5 hex digits (no UDF)
+  * embedding       cosine near-dup over array<float> vectors
+
+All shuffles key on content-derived hashes (uniform by construction); the
+shingle inverted index drops ultra-frequent shingles (document-frequency cap)
+— the classic skew guard for web-scale dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tabbyld_spark.functions.vectors import cosine
+from tabbyld_spark.operators.textstats import tokens
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, keep_id, group_size): every doc mapped to the minimum id of
+    its exact-duplicate group (survivors have doc_id == keep_id)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    w = Window.partitionBy("_fp")
+    return (
+        docs.select(id_col, F.md5(norm).alias("_fp"))
+        .withColumn("keep_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .select(id_col, "keep_id", "group_size")
+    )
+
+
+def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle)."""
+    t = tokens(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard over word n-gram shingle sets, via inverted-index
+    self-join (only docs sharing ≥1 shingle are compared).
+
+    ``max_df`` drops shingles appearing in more than max_df docs — boilerplate
+    shingles otherwise create a quadratic hot bucket (skew guard)."""
+    sh = word_shingles(docs, n, text_col, id_col)
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    sh = sh.join(df_counts.filter(F.col("_df") <= max_df), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    num_hash_tables: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Approximate near-dup pairs via MinHash-LSH over word 3-gram shingles
+    (Jaccard distance ≤ threshold).  The scale path: band-bucket join instead
+    of the inverted-index quadratic worst case."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = word_shingles(docs, 3, text_col, id_col).groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("_grams")
+    )
+    tf = HashingTF(inputCol="_grams", outputCol="_vec", numFeatures=1 << 18, binary=True)
+    vecs = tf.transform(sh).filter(F.expr("size(_grams) > 0"))
+    lsh = MinHashLSH(inputCol="_vec", outputCol="_h", numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(vecs)
+    pairs = model.approxSimilarityJoin(vecs, vecs, threshold, distCol="jaccard_dist")
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            "jaccard_dist",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Portable 32-bit SimHash: per token, bit j comes from hex digit
+    j//4 of md5(token); the document bit is the sign of the per-bit vote sum.
+    Pure integer/string builtins → identical in Spark and the DuckDB oracle.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    bit = (
+        tok.select(
+            "doc_id",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+        )
+        .withColumn(
+            "digit",
+            F.expr(
+                "instr('0123456789abcdef', substring(h, cast(j / 4 as int) + 1, 1)) - 1"
+            ),
+        )
+        .withColumn(
+            "bit",
+            F.expr("cast(floor(digit / power(2.0, 3 - j % 4)) as bigint) % 2"),
+        )
+    )
+    votes = bit.groupBy("doc_id", "j").agg(
+        F.sum(F.col("bit") * 2 - 1).alias("vote")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def embedding_dedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-duplicate pairs (brute-force; for the scale path see
+    similarity.lsh_topk which reuses the hyperplane-bucket blocking)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,114 @@
+"""Similarity search over an embedding column (array<float>).
+
+  * brute_force_topk — exact cosine top-k (baseline; one shuffle for the
+    window, crossJoin bounded by |queries| × |corpus|)
+  * lsh_topk         — random-hyperplane (signed projection) bucketing as the
+    scale path: candidates share ≥1 band bucket, exact rescoring on the
+    shortlist.  Hyperplanes are a deterministic function of (seed, dim) —
+    no Date.now/Math.random, reproducible across runs and cluster sizes.
+
+Both return (query_id, neighbor_id, rank[, cos]) with rank 1..k and a
+deterministic tiebreak (cos desc, neighbor_id asc).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tabbyld_spark.functions.vectors import cosine, dot
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit-ish hyperplanes via a hash-based LCG
+    (no global RNG state — pure function of (seed, plane, coord))."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            x = (seed * 1_000_003 + p * 10_007 + d * 101) % 2_147_483_647
+            x = (x * 48271) % 2_147_483_647
+            row.append(math.cos(x))  # bounded, sign-balanced
+        planes.append(row)
+    return planes
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 12,
+    n_bands: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH: sign bits of n_planes projections, split into
+    n_bands bands; vectors sharing any band bucket are candidates; exact
+    cosine rescoring + window top-k on the shortlist."""
+    spark = corpus.sparkSession
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    planes_df = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in planes]
+    )
+    per_band = n_planes // n_bands
+
+    def with_buckets(df: DataFrame, idc: str) -> DataFrame:
+        sig = F.transform(
+            planes_df,
+            lambda plane: F.when(dot(F.col(vec_col), plane) >= 0, F.lit("1")).otherwise(F.lit("0")),
+        )
+        banded = df.withColumn("_sig", sig).select(
+            F.col(id_col).alias(idc),
+            F.col(vec_col).alias(f"_{idc}_v"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                    lambda b: F.concat_ws(
+                        "", F.slice("_sig", b * per_band + 1, per_band)
+                    ),
+                )
+            ).alias("band", "bucket"),
+        )
+        return banded
+
+    qb = with_buckets(queries, "query_id")
+    cb = with_buckets(corpus, "neighbor_id")
+    cand = (
+        qb.join(cb, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "_query_id_v", "neighbor_id", "_neighbor_id_v")
+        .distinct()
+    )
+    scored = cand.withColumn("cos", cosine("_query_id_v", "_neighbor_id_v"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

@@ -1,0 +1,93 @@
+"""Text analysis for a training-data pipeline: tokenization, quality scoring,
+language ID, document fingerprinting.  All native column expressions (one
+whole-stage-codegen span per document batch); every operator has a DuckDB-SQL
+twin in __spark_entry__.oracle_sql for the driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish word/number/symbol token pattern (shared with the SQL oracle)
+TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "para", "con"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "们"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def regex_token_count(col_name: str) -> Column:
+    return F.expr(f"size(regexp_extract_all({col_name}, '{TOKEN_RE}', 0))")
+
+
+def quality_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: char/token counts, mean token length,
+    punctuation ratio, stopword ratio (en), distinct-token ratio."""
+    t = tokens(text_col)
+    n_chars = F.length(text_col)
+    n_tokens = F.size(t)
+    punct = F.length(F.regexp_replace(text_col, "[a-zA-Z0-9\\s]", ""))
+    stop_hits = F.size(
+        F.filter(t, lambda x: F.lower(x).isin(*STOPWORDS["en"]))
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (n_chars / n_tokens).alias("chars_per_token"),
+        (punct / n_chars).alias("punct_ratio"),
+        (stop_hits / n_tokens).alias("stopword_ratio"),
+        (F.size(F.array_distinct(t)) / n_tokens).alias("distinct_ratio"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: stopword-hit votes per language, argmax with
+    deterministic tiebreak (lang asc).  NOTE: a real pipeline would use a
+    char-n-gram model; the operator shape (explode → score → argmax) is what
+    matters at scale."""
+    t = tokens(text_col)
+    scores = [
+        F.struct(
+            F.size(F.filter(t, lambda x, ws=ws: F.lower(x).isin(*ws))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ws in sorted(STOPWORDS.items())
+    ]
+    # array_max on struct(hits, lang) orders by hits then lang — we want max
+    # hits with lang ASC tiebreak, so compare on (hits, negated-lang ordering)
+    # instead: sort descending by hits, ascending by lang via array_sort
+    arr = F.array(*scores)
+    best = F.aggregate(
+        arr,
+        F.struct(F.lit(-1).alias("hits"), F.lit("zz").alias("lang")),
+        lambda acc, s: F.when(
+            (s["hits"] > acc["hits"])
+            | ((s["hits"] == acc["hits"]) & (s["lang"] < acc["lang"])),
+            s,
+        ).otherwise(acc),
+    )
+    return docs.select(
+        "doc_id", best["lang"].alias("pred_lang"), best["hits"].alias("stop_hits")
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the whitespace-normalized,
+    lower-cased text (portable across engines)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return docs.select("doc_id", F.md5(norm).alias("fp"))

@@ -94,6 +94,37 @@ def annotate_pages(
     )
 
 
+def run_pipeline_resumable(
+    spark,
+    pages: DataFrame,
+    kg: dict[str, DataFrame],
+    catalog,
+    fuzzy_enabled: bool = True,
+) -> DataFrame:
+    """S1-S6 with a snapshot commit per stage (S8 resume semantics): kill the
+    job at any stage boundary and a rerun resumes from the last committed
+    snapshot, reproducing identical final triples."""
+    canonical = catalog.run_stage(
+        spark,
+        "canonical",
+        lambda: tables_to_canonical(extract_pages(pages)),
+        lineage={"stage": "S1-S2", "input": "pages"},
+    )
+
+    def _annotate() -> DataFrame:
+        res = annotate_canonical(
+            canonical, kg, provided_ner=False, fuzzy_enabled=fuzzy_enabled
+        )
+        catalog.write(res.cea, "cea", lineage={"stage": "S5", "input": "canonical"})
+        catalog.write(res.cta, "cta", lineage={"stage": "S5", "input": "cea"})
+        catalog.write(res.cpa, "cpa", lineage={"stage": "S5", "input": "cea"})
+        return res.triples
+
+    return catalog.run_stage(
+        spark, "triples", _annotate, lineage={"stage": "S6", "input": "cea"}
+    )
+
+
 def pipeline_metrics(result: AnnotationResult) -> DataFrame:
     """Per-table lineage/metrics rows (S8): cell/mention/candidate/triple
     counts at table grain."""

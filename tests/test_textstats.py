@@ -1,0 +1,61 @@
+"""Text-analysis operators on the documents table."""
+
+from pyspark.sql import functions as F
+
+from tabbyld_spark.operators.textstats import (
+    fingerprint,
+    language_id,
+    quality_stats,
+    regex_token_count,
+    token_count,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world 42!"), (2, "a  b   c")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: (r["tc"], r["rc"])
+        for r in df.select(
+            "doc_id",
+            token_count("text").alias("tc"),
+            regex_token_count("text").alias("rc"),
+        ).collect()
+    }
+    assert rows[1] == (3, 4)  # hello, world, 42, !
+    assert rows[2] == (3, 3)
+
+
+def test_quality_stats_ranges(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    q = quality_stats(docs)
+    bad = q.filter(
+        (F.col("punct_ratio") < 0) | (F.col("punct_ratio") > 1)
+        | (F.col("stopword_ratio") < 0) | (F.col("stopword_ratio") > 1)
+        | (F.col("distinct_ratio") <= 0) | (F.col("distinct_ratio") > 1)
+        | (F.col("n_tokens") <= 0)
+    )
+    assert bad.count() == 0
+
+
+def test_language_id_plain(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and it is warm"),
+            (2, "der hund ist nicht mit der katze und das ist gut"),
+            (3, "el perro es un animal y la casa es para los gatos"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in language_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "es"}
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, " hello world "), (3, "different")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in fingerprint(df).collect()}
+    assert fps[1] == fps[2] != fps[3]
