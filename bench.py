@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "triples_per_sec": ..., "pages_per_sec": ...}
+
+Protocol (BASELINE.md): fixed seed, fixed input, warm JVM — each query runs
+twice and reports the second (warm) time; full materialization forced via the
+noop sink so column pruning can't skip work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "3000"))
+
+
+def _materialize(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    import __spark_entry__ as E
+    from tabbyld_spark.fixtures.kg import build_kg
+    from tabbyld_spark.fixtures.pages import gen_pages_df
+    from tabbyld_spark.plans.pipeline import annotate_pages
+    from tabbyld_spark.session import get_spark
+
+    spark = get_spark("tabbyld-bench", cores=CPUS, shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qnames = [
+        "q_agg_groupby",
+        "q_join_multi",
+        "q_topk_window",
+        "q_argmax",
+        "q_events_daily",
+        "q_normalize",
+        "q_mentions",
+        "q_cea_top1",
+        "q_dedup_exact",
+        "q_ngram_jaccard",
+        "q_simhash",
+        "q_langid",
+        "q_quality",
+        "q_fingerprint",
+        "q_cosine_topk",
+        "q_ann_lsh",
+        "q_connected_components",
+    ]
+    registry = E.queries()
+    times: dict[str, float] = {}
+    for name in qnames:
+        fn = registry[name]
+        _materialize(fn(spark, SF_DIR))  # warm-up (JVM + file cache)
+        t0 = time.time()
+        _materialize(fn(spark, SF_DIR))
+        times[name] = round(time.time() - t0, 3)
+
+    # flagship STI pipeline throughput: distributed page generation is timed
+    # separately so triples/sec reflects the pipeline, not the generator
+    kg = build_kg(seed=42)
+    pages = gen_pages_df(spark, kg, n_pages=N_PAGES, seed=42, partitions=CPUS)
+    pages = pages.persist()
+    n_pages_actual = pages.count()  # materialize generator outside the timer
+    kgs = kg.to_spark(spark)
+    t0 = time.time()
+    res = annotate_pages(pages, kgs, fuzzy_enabled=True)
+    n_triples = res.triples.count()
+    sti_sec = round(time.time() - t0, 3)
+    times["q_sti_pipeline"] = sti_sec
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "cpus": CPUS,
+        "n_pages": n_pages_actual,
+        "n_triples": n_triples,
+        "triples_per_sec": round(n_triples / sti_sec, 1),
+        "pages_per_sec": round(n_pages_actual / sti_sec, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -9,8 +9,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# BPE-ish word/number/symbol token pattern (shared with the SQL oracle)
-TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+# BPE-ish word/number/symbol token pattern (shared with the SQL oracle);
+# kept as the raw regex — passed via F.lit, never through SQL-literal escaping
+TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
@@ -30,8 +31,9 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
-def regex_token_count(col_name: str) -> Column:
-    return F.expr(f"size(regexp_extract_all({col_name}, '{TOKEN_RE}', 0))")
+def regex_token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE), F.lit(0)))
 
 
 def quality_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -61,11 +63,14 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     char-n-gram model; the operator shape (explode → score → argmax) is what
     matters at scale."""
     t = tokens(text_col)
+
+    def _hits(ws: list[str]):
+        # factory closure: a default-arg lambda would make F.filter see two
+        # params and bind the second to the element index
+        return F.size(F.filter(t, lambda x: F.lower(x).isin(*ws)))
+
     scores = [
-        F.struct(
-            F.size(F.filter(t, lambda x, ws=ws: F.lower(x).isin(*ws))).alias("hits"),
-            F.lit(lang).alias("lang"),
-        )
+        F.struct(_hits(ws).alias("hits"), F.lit(lang).alias("lang"))
         for lang, ws in sorted(STOPWORDS.items())
     ]
     # array_max on struct(hits, lang) orders by hits then lang — we want max
