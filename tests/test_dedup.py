@@ -43,7 +43,10 @@ def test_ngram_jaccard_finds_near_dups(docs):
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     near = {p for p in got if p[1] >= 20_000 and p[0] < 10_000}
-    assert len(near) == 6
+    # all 6 planted (original, near-dup) pairs recovered; extra pairs are
+    # allowed when base docs are genuinely similar to a planted variant
+    # (e.g. doc 50 ~ doc 0 in the sf0.001 corpus)
+    assert {(i, 20_000 + i) for i in range(6)} <= near
     # exact dups are trivially ≥ threshold too
     assert all(j >= 0.5 for j in [r["jaccard"] for r in pairs.collect()])
 

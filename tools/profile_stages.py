@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Stage-level wall-time profile of the STI pipeline at a given core count.
+
+Usage:  taskset -c 0-7 python tools/profile_stages.py 8 20000
+
+Times each pipeline stage by forcing materialization (noop write) so we can
+see which stages dominate and which fail to scale with cores.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from tabbyld_spark.session import get_spark
+from tabbyld_spark.fixtures.kg import build_kg
+from tabbyld_spark.fixtures.pages import gen_pages_df
+
+
+def mark(times, name, t0):
+    dt = time.time() - t0
+    times[name] = round(dt, 2)
+    print(f"  {name:28s} {dt:8.2f}s", flush=True)
+    return time.time()
+
+
+def main():
+    cores = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
+    spark = get_spark(f"profile-{cores}", cores=cores, shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    kg = build_kg(seed=42)
+    pages = gen_pages_df(spark, kg, n_pages=n_pages, seed=42, partitions=16).persist()
+    pages.count()
+    kgs = kg.to_spark(spark)
+
+    from tabbyld_spark.extract.html import extract_pages
+    from tabbyld_spark.functions.ner import attach_ner, build_gazetteer
+    from tabbyld_spark.operators import features as FT
+    from tabbyld_spark.operators.aggregate import aggregate_ranks, cea_top1, cpa_vote, cta_vote
+    from tabbyld_spark.operators.candidates import generate_candidates
+    from tabbyld_spark.operators.canonical import tables_to_canonical
+    from tabbyld_spark.operators.fuzzy import lsh_fuzzy_candidates
+    from tabbyld_spark.operators.mentions import all_mentions, entry_context
+    from tabbyld_spark.operators.triples import emit_triples
+
+    times = {}
+    T0 = time.time()
+    t0 = time.time()
+
+    canonical = tables_to_canonical(extract_pages(pages)).localCheckpoint()
+    t0 = mark(times, "S1_extract_canonical", t0)
+
+    mentions = all_mentions(canonical, provided_ner=False)
+    gaz = build_gazetteer(kgs["kg_labels"], kgs["kg_types"], kgs["kg_subclass"])
+    mentions = attach_ner(mentions, gaz).localCheckpoint()
+    t0 = mark(times, "S2_mentions_ner", t0)
+
+    fuzzy = lsh_fuzzy_candidates(mentions, kgs["kg_labels"]).localCheckpoint()
+    t0 = mark(times, "S3a_lsh_fuzzy", t0)
+
+    literals, cands = generate_candidates(mentions, kgs["kg_labels"], fuzzy=fuzzy)
+    cands = cands.localCheckpoint()
+    literals = literals.localCheckpoint()
+    t0 = mark(times, "S3b_candidates", t0)
+
+    cands = FT.ner_class_rank(cands, kgs["kg_types"], kgs["kg_subclass"])
+    cands = cands.localCheckpoint()
+    t0 = mark(times, "S4a_ner_rank", t0)
+
+    cands = FT.heading_rank(cands, kgs["kg_types"]).localCheckpoint()
+    t0 = mark(times, "S4b_heading_rank", t0)
+
+    ectx = entry_context(canonical)
+    kctx = FT.entity_context(cands, kgs["kg_triples"])
+    cands = FT.context_similarity(cands, ectx, kctx).localCheckpoint()
+    t0 = mark(times, "S4c_context_sim", t0)
+
+    pcl = FT.parent_classes(cands, kgs["kg_triples"])
+    cands = FT.semantic_similarity(cands, pcl).localCheckpoint()
+    t0 = mark(times, "S4d_semantic_sim", t0)
+
+    scored = aggregate_ranks(cands)
+    cea = cea_top1(scored, literals).localCheckpoint()
+    t0 = mark(times, "S5a_cea", t0)
+
+    cta = cta_vote(cea, canonical, kgs["kg_types"]).localCheckpoint()
+    cpa = cpa_vote(cea, canonical, kgs["kg_triples"]).localCheckpoint()
+    t0 = mark(times, "S5b_cta_cpa", t0)
+
+    triples = emit_triples(cea, cta, cpa)
+    n = triples.count()
+    t0 = mark(times, "S6_triples", t0)
+
+    total = round(time.time() - T0, 2)
+    print(json.dumps({"cores": cores, "n_pages": n_pages, "n_triples": n,
+                      "total_sec": total, "stages": times}))
+
+
+if __name__ == "__main__":
+    main()
