@@ -331,6 +331,25 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_media_meta(spark, sf_dir):
+    """Multimodal: synthesize binary media payloads from documents, then
+    decode typed metadata back out via the Arrow mapInPandas codec stub.
+    Every decoded field is a pure function of doc_id → SQL oracle below."""
+    from tabbyld_spark.operators.multimodal import decode_meta, media_from_documents
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    meta = decode_meta(media_from_documents(d))
+    return meta.select(
+        "media_id",
+        "kind",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "n_bytes",
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     out = brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5)
@@ -380,6 +399,20 @@ def q_connected_components(spark, sf_dir):
 # --------------------------------------------------------------------------
 # non-SQL-expressible (rows-only checks): ML-LSH ops + full STI pipeline
 # --------------------------------------------------------------------------
+
+def q_media_frames(spark, sf_dir):
+    """Multimodal one-to-many: video payloads → one row per sampled frame
+    (binary frame column — rows-only check)."""
+    from tabbyld_spark.operators.multimodal import media_from_documents, sample_frames
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    frames = sample_frames(media_from_documents(d), every=2)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.length("frame").cast("long").alias("frame_bytes"),
+    )
+
 
 def q_minhash_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -437,6 +470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality": q_quality,
         "q_langid": q_langid,
         "q_fingerprint": q_fingerprint,
+        "q_media_meta": q_media_meta,
+        "q_media_frames": q_media_frames,
         "q_cosine_topk": q_cosine_topk,
         "q_closure": q_closure,
         "q_connected_components": q_connected_components,
@@ -718,6 +753,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
             FROM documents
+        """,
+        "q_media_meta": """
+            WITH g AS (
+                SELECT CAST(doc_id AS BIGINT) AS media_id,
+                       doc_id % 3 AS k,
+                       CAST(doc_id % 37 + 8 AS BIGINT) AS w,
+                       CAST(doc_id % 23 + 8 AS BIGINT) AS h,
+                       CAST(doc_id % 5 + 2 AS BIGINT) AS nf
+                FROM documents WHERE doc_id < 500
+            )
+            SELECT media_id,
+                   CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CASE WHEN k IN (0, 2) THEN w END AS width,
+                   CASE WHEN k IN (0, 2) THEN h END AS height,
+                   CASE WHEN k = 2 THEN nf END AS n_frames,
+                   CASE WHEN k = 1 THEN 16000 END AS sample_rate,
+                   CASE k WHEN 0 THEN 12 + w * h
+                          WHEN 1 THEN 8 + w * h
+                          ELSE 16 + w * h * nf END AS n_bytes
+            FROM g
+        """,
+        "q_media_frames": """
+            WITH g AS (
+                SELECT CAST(doc_id AS BIGINT) AS media_id,
+                       CAST(doc_id % 37 + 8 AS BIGINT) AS w,
+                       CAST(doc_id % 23 + 8 AS BIGINT) AS h,
+                       CAST(doc_id % 5 + 2 AS BIGINT) AS nf
+                FROM documents WHERE doc_id < 300 AND doc_id % 3 = 2
+            )
+            SELECT media_id, CAST(i AS BIGINT) AS frame_idx, w * h AS frame_bytes
+            FROM g, LATERAL unnest(range(0, nf, 2)) AS r(i)
         """,
         "q_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -35,6 +35,12 @@ kg = build_kg(seed=42)
 pages = gen_pages_df(spark, kg, n_pages=n_pages, seed=42, partitions=16).persist()
 n = pages.count()  # generation outside the timed section
 kgs = kg.to_spark(spark)
+# warm-JVM protocol (BASELINE.md): one full pipeline pass on a small disjoint
+# input first, so Janino codegen compilation, JIT, and Python-worker spin-up
+# happen outside the timed section at BOTH core counts — a real cluster job
+# amortizes these once per executor lifetime, not once per measurement
+warm = gen_pages_df(spark, kg, n_pages=1500, seed=7, partitions=16)
+annotate_pages(warm, kgs, fuzzy_enabled=True).triples.count()
 t0 = time.time()
 res = annotate_pages(pages, kgs, fuzzy_enabled=True)
 n_triples = res.triples.count()

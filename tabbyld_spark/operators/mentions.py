@@ -112,39 +112,63 @@ def entry_context(canonical: DataFrame) -> DataFrame:
     matches if it shares a non-empty row_heading OR column_heading with a row
     holding the mention; each matching row contributes once per holder row.
     """
+    # OR-join via inclusion-exclusion over PRE-AGGREGATED row counts instead
+    # of materializing row pairs and deduping on a wide key: the number of
+    # (holder row, context row) pairs sharing heading h is the product of the
+    # two rows-per-value counts at h, so
+    #   n = Σ_rh cnt_l·cnt_r + Σ_ch cnt_l·cnt_r − Σ_(rh,ch) cnt_l·cnt_r
+    # (the last term removes pairs matching on both headings, which the
+    # reference's single `if` counts once).  Each join moves one aggregated
+    # row per (table, value, heading) — map-side combine applies and the
+    # shuffle no longer scales with rows², only with distinct values.
     rows = canonical.select(
-        "table_id", "row_idx", "col_idx", "data", "row_heading", "column_heading"
+        "table_id", F.col("data"), F.col("row_heading"), F.col("column_heading")
     )
-    left = rows.select(
-        "table_id",
-        F.col("row_idx").alias("l_r"),
-        F.col("col_idx").alias("l_c"),
-        F.col("data").alias("mention"),
-        F.col("row_heading").alias("l_rh"),
-        F.col("column_heading").alias("l_ch"),
-    )
-    right = rows.select(
-        "table_id",
-        F.col("row_idx").alias("r_r"),
-        F.col("col_idx").alias("r_c"),
-        F.col("data").alias("ctx_value"),
-        F.col("row_heading").alias("r_rh"),
-        F.col("column_heading").alias("r_ch"),
-    )
-    # OR-join decomposed into two equi-joins + pair-level dedup: hash joins on
-    # (table_id, heading) instead of a per-table nested loop; a pair matching
-    # on both headings must count once (reference's single `if`).
-    on_rh = left.filter(F.col("l_rh") != "").join(
-        right.filter(F.col("r_rh") != ""),
-        (left.table_id == right.table_id) & (F.col("l_rh") == F.col("r_rh")),
-    ).select(left.table_id, "l_r", "l_c", "mention", "r_r", "r_c", "ctx_value")
-    on_ch = left.filter(F.col("l_ch") != "").join(
-        right.filter(F.col("r_ch") != ""),
-        (left.table_id == right.table_id) & (F.col("l_ch") == F.col("r_ch")),
-    ).select(left.table_id, "l_r", "l_c", "mention", "r_r", "r_c", "ctx_value")
-    pairs = on_rh.unionByName(on_ch).dropDuplicates(
-        ["table_id", "l_r", "l_c", "r_r", "r_c"]
-    )
-    return pairs.groupBy("table_id", "mention", "ctx_value").agg(
-        F.count(F.lit(1)).alias("n")
+
+    def _counts(*keys: str) -> DataFrame:
+        out = rows
+        for k in keys:
+            out = out.filter(F.col(k) != "")
+        return out.groupBy("table_id", "data", *keys).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+
+    def _pairs(*keys: str) -> DataFrame:
+        l = _counts(*keys).select(
+            "table_id",
+            F.col("data").alias("mention"),
+            *keys,
+            F.col("cnt").alias("cnt_l"),
+        )
+        r = _counts(*keys).select(
+            "table_id",
+            F.col("data").alias("ctx_value"),
+            *keys,
+            F.col("cnt").alias("cnt_r"),
+        )
+        return (
+            l.join(r, ["table_id", *keys])
+            .groupBy("table_id", "mention", "ctx_value")
+            .agg(F.sum(F.col("cnt_l") * F.col("cnt_r")).alias("n"))
+        )
+
+    on_rh = _pairs("row_heading")
+    on_ch = _pairs("column_heading")
+    on_both = _pairs("row_heading", "column_heading").withColumnRenamed("n", "n_both")
+    return (
+        on_rh.withColumnRenamed("n", "n_rh")
+        .join(
+            on_ch.withColumnRenamed("n", "n_ch"),
+            ["table_id", "mention", "ctx_value"],
+            "full_outer",
+        )
+        .join(on_both, ["table_id", "mention", "ctx_value"], "left")
+        .fillna({"n_rh": 0, "n_ch": 0, "n_both": 0})
+        .select(
+            "table_id",
+            "mention",
+            "ctx_value",
+            (F.col("n_rh") + F.col("n_ch") - F.col("n_both")).alias("n"),
+        )
+        .filter(F.col("n") > 0)
     )

@@ -1,0 +1,317 @@
+"""Multimodal columns — image/audio/video as opaque ``binary`` payloads with
+typed metadata, processed by Arrow-batched ``mapInPandas`` operators.
+
+A 100 TB web crawl carries media alongside text; the engine treats each media
+object as a row ``(media_id, kind, payload: binary, meta)`` and implements the
+standard training-data ops over it:
+
+  * :func:`decode_meta` — parse typed metadata out of the payload header
+  * :func:`image_features` — decode → fixed-length feature vector
+  * :func:`resize_images` — decode → resample → re-encode
+  * :func:`sample_frames` — video → one row PER FRAME (one-to-many batch
+    shape: ``mapInPandas`` yields more rows than it receives)
+
+The container has no image/audio codec libraries, so the *codec* is stubbed
+exactly as the build brief requires: a deterministic FAKE format (below) is
+fully implemented and tested, and real codecs raise ``NotImplementedError``
+at the single dispatch point (:func:`_decode`).  Everything Spark-side —
+schemas, binary columns, Arrow batch transfer, partitioning, the one-to-many
+iterator contract — is real and scale-faithful.
+
+FAKE payload format (deterministic, self-describing):
+  magic 4 bytes  ``FIMG`` / ``FAUD`` / ``FVID``
+  width, height  uint32 big-endian (images; frame size for video)
+  n_frames       uint32 big-endian (video only; images have no field)
+  sample_rate    uint32 big-endian (audio only)
+  body           raw bytes (pixels / samples), length arbitrary
+
+Reference parity note: the reference pipeline is text/XLSX-only
+(/root/reference/commands/SpreadsheetController.php:522-538); this module is
+part of the mandated beyond-reference training-data surface.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MAGIC = {b"FIMG": "image", b"FAUD": "audio", b"FVID": "video"}
+
+
+# --------------------------------------------------------------------------
+# fake codec (deterministic) + encode helpers used by fixtures and tests
+# --------------------------------------------------------------------------
+
+def encode_fake_image(width: int, height: int, seed: bytes) -> bytes:
+    body = hashlib.sha256(seed).digest() * (1 + (width * height) // 32)
+    return b"FIMG" + struct.pack(">II", width, height) + body[: width * height]
+
+def encode_fake_audio(sample_rate: int, n_samples: int, seed: bytes) -> bytes:
+    body = hashlib.sha256(seed).digest() * (1 + n_samples // 32)
+    return b"FAUD" + struct.pack(">I", sample_rate) + body[:n_samples]
+
+def encode_fake_video(width: int, height: int, n_frames: int, seed: bytes) -> bytes:
+    frame_sz = width * height
+    body = b"".join(
+        hashlib.sha256(seed + struct.pack(">I", i)).digest() * (1 + frame_sz // 32)
+        for i in range(n_frames)
+    )
+    return (
+        b"FVID"
+        + struct.pack(">III", width, height, n_frames)
+        + body[: frame_sz * n_frames]
+    )
+
+
+def _decode(payload: bytes) -> dict:
+    """Single codec dispatch point.  Real formats (JPEG/PNG/WAV/MP4…) need
+    codec libraries absent from this container — they raise here; swap this
+    function for a real decoder on a cluster image that ships them."""
+    if payload is None or len(payload) < 4:
+        return {"kind": None}
+    magic = bytes(payload[:4])
+    if magic == b"FIMG":
+        w, h = struct.unpack(">II", bytes(payload[4:12]))
+        return {"kind": "image", "width": w, "height": h, "body": bytes(payload[12:])}
+    if magic == b"FAUD":
+        (sr,) = struct.unpack(">I", bytes(payload[4:8]))
+        return {"kind": "audio", "sample_rate": sr, "body": bytes(payload[8:])}
+    if magic == b"FVID":
+        w, h, nf = struct.unpack(">III", bytes(payload[4:16]))
+        return {"kind": "video", "width": w, "height": h, "n_frames": nf,
+                "body": bytes(payload[16:])}
+    raise NotImplementedError(
+        f"real media codec required for payload magic {magic!r}; "
+        "this container ships no image/audio libraries (build-brief stub)"
+    )
+
+
+# --------------------------------------------------------------------------
+# metadata
+# --------------------------------------------------------------------------
+
+_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def decode_meta(media: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
+    """→ (media_id, kind, width, height, n_frames, sample_rate, n_bytes).
+
+    Arrow-batched; the scan reads only (id, payload) thanks to the narrow
+    ``select`` — at 100 TB the projection matters more than the UDF.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = _decode(payload)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": d.get("kind"),
+                        "width": d.get("width"),
+                        "height": d.get("height"),
+                        "n_frames": d.get("n_frames"),
+                        "sample_rate": d.get("sample_rate"),
+                        "n_bytes": len(payload) if payload is not None else 0,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _META_SCHEMA.fields])
+
+    return media.select(id_col, payload_col).mapInPandas(gen, _META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# image features + resize
+# --------------------------------------------------------------------------
+
+_FEAT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_px", DoubleType()),
+        StructField("histogram", ArrayType(LongType())),
+    ]
+)
+
+
+def image_features(media: DataFrame, id_col: str = "media_id", payload_col: str = "payload", bins: int = 16) -> DataFrame:
+    """Decode each image and emit (width, height, mean pixel, 16-bin
+    histogram) — the fixed-batch-shape feature-extract pattern a real
+    embedding model would slot into (same schema discipline, same Arrow
+    path, heavier kernel)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = _decode(payload)
+                if d.get("kind") != "image":
+                    continue
+                body = d["body"]
+                hist = [0] * bins
+                total = 0
+                for b in body:
+                    hist[b * bins // 256] += 1
+                    total += b
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": d["width"],
+                        "height": d["height"],
+                        "mean_px": total / len(body) if body else 0.0,
+                        "histogram": hist,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _FEAT_SCHEMA.fields])
+
+    return media.select(id_col, payload_col).mapInPandas(gen, _FEAT_SCHEMA)
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
+    """Nearest-neighbour resample of the fake pixel grid, re-encoded to a new
+    FIMG payload — the decode → transform → re-encode roundtrip shape."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = _decode(payload)
+                if d.get("kind") != "image":
+                    continue
+                sw, sh, body = d["width"], d["height"], d["body"]
+                px = bytes(
+                    body[(y * sh // height) * sw + (x * sw // width)]
+                    for y in range(height)
+                    for x in range(width)
+                ) if body else b""
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "payload": b"FIMG" + struct.pack(">II", width, height) + px,
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _RESIZE_SCHEMA.fields])
+
+    return media.select(id_col, payload_col).mapInPandas(gen, _RESIZE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# video frame sampling (one-to-many)
+# --------------------------------------------------------------------------
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every: int = 2, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
+    """Every ``every``-th frame of each video as its own row — the
+    one-to-many ``mapInPandas`` shape (output rows ≠ input rows) used for
+    frame-level training data."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = _decode(payload)
+                if d.get("kind") != "video":
+                    continue
+                fsz = d["width"] * d["height"]
+                for i in range(0, d["n_frames"], every):
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": i,
+                            "frame": d["body"][i * fsz : (i + 1) * fsz],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in _FRAME_SCHEMA.fields])
+
+    return media.select(id_col, payload_col).mapInPandas(gen, _FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# deterministic media fixture over the documents table
+# --------------------------------------------------------------------------
+
+def media_from_documents(documents: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from ``documents``: doc_id % 3
+    selects the kind; payload geometry is a pure function of doc_id, so both
+    the Spark pipeline and a SQL oracle can predict every derived value.
+
+    Built with native expressions + one mapInPandas encode (binary synthesis
+    must be Python, but it is Arrow-batched like every other media op)."""
+    base = documents.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (F.col("doc_id") % 3).cast("int").alias("k"),
+        (F.col("doc_id") % 37 + 8).cast("int").alias("w"),
+        (F.col("doc_id") % 23 + 8).cast("int").alias("h"),
+        (F.col("doc_id") % 5 + 2).cast("int").alias("nf"),
+    )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, k, w, h, nf in zip(pdf.media_id, pdf.k, pdf.w, pdf.h, pdf.nf):
+                seed = struct.pack(">q", mid)
+                if k == 0:
+                    kind, payload = "image", encode_fake_image(w, h, seed)
+                elif k == 1:
+                    kind, payload = "audio", encode_fake_audio(16000, w * h, seed)
+                else:
+                    kind, payload = "video", encode_fake_video(w, h, nf, seed)
+                rows.append({"media_id": mid, "kind": kind, "payload": payload})
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    return base.mapInPandas(gen, schema)

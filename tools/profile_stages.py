@@ -37,6 +37,11 @@ def main():
     pages.count()
     kgs = kg.to_spark(spark)
 
+    if "--warm" in sys.argv:
+        from tabbyld_spark.plans.pipeline import annotate_pages
+        warm = gen_pages_df(spark, kg, n_pages=1500, seed=7, partitions=16)
+        annotate_pages(warm, kgs, fuzzy_enabled=True).triples.count()
+
     from tabbyld_spark.extract.html import extract_pages
     from tabbyld_spark.functions.ner import attach_ner, build_gazetteer
     from tabbyld_spark.operators import features as FT
