@@ -22,7 +22,7 @@ from tabbyld_spark.functions.normalize import (
     normalize_entry_sql,
 )
 from tabbyld_spark.operators.dedup import exact_dedup, minhash_dedup_pairs, ngram_jaccard_pairs, simhash
-from tabbyld_spark.operators.similarity import brute_force_topk, lsh_topk
+from tabbyld_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from tabbyld_spark.operators.textstats import (
     STOPWORDS,
     TOKEN_RE,
@@ -427,6 +427,17 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate top-k: k-means coarse quantizer + n_probe cell scan
+    (approximate → rows-only check; ivf with n_probe == n_centroids is
+    pinned to the brute-force oracle in tests/test_similarity.py)."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5, n_centroids=8, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_sti_cea(spark, sf_dir):
     from tabbyld_spark.fixtures.kg import build_kg
     from tabbyld_spark.fixtures.pages import gen_pages_pd
@@ -477,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_connected_components": q_connected_components,
         "q_minhash_pairs": q_minhash_pairs,
         "q_ann_lsh": q_ann_lsh,
+        "q_ann_ivf": q_ann_ivf,
         "q_sti_cea": q_sti_cea,
         "q_sti_triples": q_sti_triples,
     }

@@ -29,10 +29,13 @@ from tabbyld_spark.fixtures.pages import gen_pages_df
 from tabbyld_spark.plans.pipeline import annotate_pages
 
 cores = int(sys.argv[1]); n_pages = int(sys.argv[2]); out_path = sys.argv[3]
-spark = get_spark(f"scale-{cores}", cores=cores, shuffle_partitions=16)
+# 32 shuffle partitions at BOTH core counts (same job, same plan): sized for
+# the larger configuration (4 waves at 8 cores) so stragglers can't idle the
+# extra cores; the smaller run just takes more waves
+spark = get_spark(f"scale-{cores}", cores=cores, shuffle_partitions=32)
 spark.sparkContext.setLogLevel("ERROR")
 kg = build_kg(seed=42)
-pages = gen_pages_df(spark, kg, n_pages=n_pages, seed=42, partitions=16).persist()
+pages = gen_pages_df(spark, kg, n_pages=n_pages, seed=42, partitions=32).persist()
 n = pages.count()  # generation outside the timed section
 kgs = kg.to_spark(spark)
 # warm-JVM protocol (BASELINE.md): one full pipeline pass on a small disjoint

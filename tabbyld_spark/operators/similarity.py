@@ -7,8 +7,12 @@
     shortlist.  Hyperplanes are a deterministic function of (seed, dim) —
     no Date.now/Math.random, reproducible across runs and cluster sizes.
 
-Both return (query_id, neighbor_id, rank[, cos]) with rank 1..k and a
-deterministic tiebreak (cos desc, neighbor_id asc).
+All return (query_id, neighbor_id, rank[, cos]) with rank 1..k and a
+deterministic tiebreak (cos desc, neighbor_id asc).  ivf_topk adds the
+inverted-file scale path: a deterministic k-means coarse quantizer (Lloyd
+iterations as DataFrame ops) partitions the corpus by nearest centroid and
+each query probes only its n_probe nearest cells — the partition-pruned scan
+shape a billion-vector corpus needs.
 """
 
 from __future__ import annotations
@@ -55,6 +59,104 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
             row.append(math.cos(x))  # bounded, sign-balanced
         planes.append(row)
     return planes
+
+
+def _assign_centroid(
+    df: DataFrame, cents: DataFrame, vec_col: str, key_col: str
+) -> DataFrame:
+    """Nearest centroid per row via broadcast cross join + window argmin
+    (centroid table is tiny by construction — it always broadcasts)."""
+    joined = df.crossJoin(F.broadcast(cents)).withColumn(
+        "_cos", cosine(vec_col, "c_vec")
+    )
+    w = Window.partitionBy(key_col).orderBy(F.desc("_cos"), F.asc("centroid"))
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_cos", "c_vec")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: Lloyd k-means over the corpus
+    (seeded from a deterministic hash order of ids), then each query scores
+    only the n_probe nearest cells.  Recall rises with n_probe; n_probe ==
+    n_centroids degenerates to exact brute force.
+
+    Scale shape: the expensive rescore join is an equi-join on ``centroid``
+    — at 10^9 vectors the corpus side is bucketed/partitioned by centroid on
+    disk and each probe reads n_probe/n_centroids of the data, not all of it.
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # deterministic seeding: first n_centroids ids in md5 order
+    seeds = (
+        c.withColumn("_h", F.md5(F.col("neighbor_id").cast("string")))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("_h"))
+            .alias("centroid"),
+            F.col("cv").alias("c_vec"),
+        )
+    )
+    cents = seeds
+    for _ in range(n_iter):
+        assigned = _assign_centroid(
+            c.withColumnRenamed("cv", vec_col), cents, vec_col, "neighbor_id"
+        )
+        # element-wise mean per centroid: posexplode → avg per coordinate →
+        # rebuild the array in coordinate order
+        cents = (
+            assigned.select("centroid", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("centroid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                    ),
+                    lambda s: s["m"].cast("float"),
+                ).alias("c_vec")
+            )
+        )
+    inv = _assign_centroid(
+        c.withColumnRenamed("cv", vec_col), cents, vec_col, "neighbor_id"
+    ).select("neighbor_id", F.col(vec_col).alias("cv"), "centroid")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("_cos", cosine("qv", "c_vec"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("centroid"))
+            ),
+        )
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "qv", "centroid")
+    )
+    scored = (
+        probes.join(inv, "centroid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
 
 
 def lsh_topk(

@@ -69,9 +69,13 @@ def annotate_canonical(
 
     ectx = entry_context(canonical)
     kctx = FT.entity_context(cands, kg["kg_triples"])
-    cands = FT.context_similarity(cands, ectx, kctx)
+    # checkpoint after each feature that the next stage consumes more than
+    # once: semantic_similarity self-joins its input three ways, and without a
+    # materialization boundary Spark re-executes the whole upstream subplan
+    # per occurrence (no cross-operator CSE) — measured 354s → 230s at 2 cores
+    cands = FT.context_similarity(cands, ectx, kctx).localCheckpoint()
     pcl = FT.parent_classes(cands, kg["kg_triples"])
-    cands = FT.semantic_similarity(cands, pcl)
+    cands = FT.semantic_similarity(cands, pcl).localCheckpoint()
 
     scored = aggregate_ranks(cands)
     cea = cea_top1(scored, literals).localCheckpoint()

@@ -31,6 +31,13 @@ def get_spark(
     # multi-executor cluster with skewed web data, turn it ON
     # (SPARK_GRAFT_AQE=true) for runtime skew-join splitting + coalescing.
     aqe = os.environ.get("SPARK_GRAFT_AQE", "false")
+    # shuffle + block-manager spill dir: prefer tmpfs — local shuffle writes
+    # otherwise bottleneck on the boot disk (~600 MB/s here), a fixed-rate
+    # resource that caps scaling exactly like an undersized disk on a real
+    # executor; clusters put shuffle on NVMe/ramdisk for the same reason
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
@@ -44,6 +51,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -66,7 +66,13 @@ def test_all_queries_have_oracle_or_are_marked():
     assert os_ <= qs
     rows_only = qs - os_
     # only genuinely non-SQL-expressible ops may omit the oracle
-    assert rows_only <= {"q_minhash_pairs", "q_ann_lsh", "q_sti_cea", "q_sti_triples"}
+    assert rows_only <= {
+        "q_minhash_pairs",
+        "q_ann_lsh",
+        "q_ann_ivf",
+        "q_sti_cea",
+        "q_sti_triples",
+    }
 
 
 def test_entry_returns_rows(spark):

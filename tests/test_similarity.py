@@ -4,7 +4,7 @@ fixture table."""
 import pytest
 from pyspark.sql import functions as F
 
-from tabbyld_spark.operators.similarity import brute_force_topk, lsh_topk
+from tabbyld_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 
 
 @pytest.fixture(scope="module")
@@ -48,4 +48,45 @@ def test_lsh_recall_vs_brute_force(emb, queries):
 def test_lsh_deterministic(emb, queries):
     a = sorted(map(tuple, lsh_topk(emb, queries, k=3).collect()))
     b = sorted(map(tuple, lsh_topk(emb.repartition(5), queries, k=3).collect()))
+    assert a == b
+
+
+def test_ivf_full_probe_equals_brute_force(emb, queries):
+    """n_probe == n_centroids means every cell is scanned → exact."""
+    small = emb.filter(F.col("vec_id") < 120)
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in brute_force_topk(small, queries, k=5).collect()
+    )
+    full = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_topk(
+            small, queries, k=5, n_centroids=4, n_probe=4, n_iter=2
+        ).collect()
+    )
+    assert exact == full
+
+
+def test_ivf_partial_probe_recall(emb, queries):
+    small = emb.filter(F.col("vec_id") < 200)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(small, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            small, queries, k=5, n_centroids=8, n_probe=4, n_iter=3
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+
+
+def test_ivf_deterministic(emb, queries):
+    small = emb.filter(F.col("vec_id") < 150)
+    a = sorted(map(tuple, ivf_topk(small, queries, k=3, n_centroids=6, n_probe=2).collect()))
+    b = sorted(
+        map(tuple, ivf_topk(small.repartition(5), queries, k=3, n_centroids=6, n_probe=2).collect())
+    )
     assert a == b
