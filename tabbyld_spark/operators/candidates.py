@@ -68,9 +68,14 @@ def with_levenshtein(cands: DataFrame) -> DataFrame:
 
 
 def cap_candidates(cands: DataFrame, cap: int = CANDIDATE_CAP) -> DataFrame:
-    w = Window.partitionBy("table_id", "col_role", "mention").orderBy(
-        F.asc("lev"), F.asc("entity")
-    )
+    """Per-mention top-``cap``.  Windows on the surrogate mention_key (one
+    long instead of three strings) — this window's exchange also leaves the
+    candidates table hash-partitioned by mention_key, which every feature
+    join-back reuses (operators/features.py)."""
+    from tabbyld_spark.operators.features import ensure_keys
+
+    cands = ensure_keys(cands)
+    w = Window.partitionBy("mention_key").orderBy(F.asc("lev"), F.asc("entity"))
     return (
         cands.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= cap)
@@ -89,14 +94,19 @@ def generate_candidates(
     ``fuzzy``: optional (table_id, col_role, mention, entity) pairs from the
     LSH blocker, unioned in before rescoring.
     """
-    literals, rest = split_literal_mentions(mentions)
+    from tabbyld_spark.operators.features import ensure_keys
+
+    literals, rest = split_literal_mentions(ensure_keys(mentions))
     cands = exact_candidates(rest, kg_labels)
     if fuzzy is not None:
+        # fuzzy carries (mention_key, entity); rejoin the mention payload on
+        # the surrogate key (fallback: legacy string-keyed shape)
+        join_key = ["mention_key"] if "mention_key" in fuzzy.columns else [
+            "table_id", "col_role", "mention"
+        ]
         extra = fuzzy.join(
-            rest.select("table_id", "col_role", "mention", "mention_norm", "ner", "heading_labels"),
-            ["table_id", "col_role", "mention"],
+            rest.drop("entity") if "entity" in rest.columns else rest, join_key
         )
-        cands = cands.select(extra.columns).unionByName(extra).dropDuplicates(
-            ["table_id", "col_role", "mention", "entity"]
-        )
-    return literals, cap_candidates(with_levenshtein(cands), cap)
+        cands = cands.select(extra.columns).unionByName(extra)
+        cands = ensure_keys(cands).dropDuplicates(["mention_key", "ent_key"])
+    return literals, cap_candidates(with_levenshtein(ensure_keys(cands)), cap)

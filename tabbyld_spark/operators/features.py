@@ -5,10 +5,24 @@ Candidate schema in: (table_id, col_role, mention, mention_norm, ner,
 heading_labels, entity, lev).  Each feature adds one column; aggregation
 (P18/P19) is a single arithmetic expression at the end.
 
-Scale notes: kg_types / kg_subclass / the NER-class map broadcast; the
+Scale notes — this box (like any bandwidth-bound executor) moves shuffle
+bytes at a fixed aggregate rate, so every feature computes over a NARROW
+projection keyed by surrogate 64-bit hashes and joins back on those keys:
+
+  * mention_key = xxhash64(table_id, col_role, mention)  (candidate grain
+    together with ent_key; globally unique w.h.p. — production at 10^12 docs
+    would widen to 128-bit, same plan shape)
+  * ent_key     = xxhash64(entity)
+  * context values compare by hash too (reference semantics is exact string
+    equality — levenshtein == 0 — so hash equality is the same predicate)
+
+The wide candidates table is hash-partitioned by mention_key once (the
+cap_candidates window exchange) and checkpointed; every feature join-back
+clusters on (mention_key, ent_key), which HashPartitioning(mention_key)
+already satisfies — Catalyst re-shuffles only the narrow feature side, never
+the wide side.  kg_types / kg_subclass / the NER-class map broadcast; the
 semantic-similarity pair voting (P16) is quadratic per table — bounded by the
-candidate cap — and shuffles on table_id only, so AQE skew-join splitting
-handles hot tables.
+candidate cap — and shuffles long-keyed rows only.
 """
 
 from __future__ import annotations
@@ -19,7 +33,18 @@ from pyspark.sql import functions as F
 from tabbyld_spark.fixtures.kg import DBO, DBR, NER_CLASS
 from tabbyld_spark.functions.normalize import entity_localname
 
-_KEY = ["table_id", "col_role", "mention", "entity"]
+_KEY = ["mention_key", "ent_key"]
+
+
+def ensure_keys(cands: DataFrame) -> DataFrame:
+    """Attach surrogate join keys if absent (idempotent; pure column exprs)."""
+    if "mention_key" not in cands.columns:
+        cands = cands.withColumn(
+            "mention_key", F.xxhash64("table_id", "col_role", "mention")
+        )
+    if "ent_key" not in cands.columns and "entity" in cands.columns:
+        cands = cands.withColumn("ent_key", F.xxhash64("entity"))
+    return cands
 
 
 def ner_class_rank(cands: DataFrame, kg_types: DataFrame, kg_subclass: DataFrame) -> DataFrame:
@@ -28,13 +53,14 @@ def ner_class_rank(cands: DataFrame, kg_types: DataFrame, kg_subclass: DataFrame
     counts every class C with type(e) ⊑* C ⊑* NerClass (with multiplicity
     over types); depth = count/2; rank = (int)(1/depth) — i.e. int(2/count).
     """
+    cands = ensure_keys(cands)
     ner_map = cands.sparkSession.createDataFrame(
         [(label, cls) for label, cls in NER_CLASS.items()], ["ner", "ner_class"]
     )
     up = kg_subclass.select(F.col("child").alias("class"), F.col("parent").alias("mid"))
     up2 = kg_subclass.select(F.col("child").alias("mid"), F.col("parent").alias("ner_class"))
     paths = (
-        cands.select(*_KEY, "ner")
+        cands.select(*_KEY, "entity", "ner")
         .join(F.broadcast(ner_map), "ner")
         .join(kg_types, "entity")
         .join(F.broadcast(up), "class")
@@ -51,39 +77,41 @@ def heading_rank(cands: DataFrame, kg_types: DataFrame) -> DataFrame:
     """P11 (CanonicalTableAnnotator.php:466-505): min Levenshtein between any
     dbo: class localname of the candidate and any (normalized) heading label
     of the mention's winning row; 100 when no classes/labels."""
-    has = cands.filter(F.size("heading_labels") > 0)
-    rest = cands.filter(~(F.size("heading_labels") > 0))
+    cands = ensure_keys(cands)
     scored = (
-        has.select(*_KEY, F.explode("heading_labels").alias("hl"))
+        cands.filter(F.size("heading_labels") > 0)
+        .select(*_KEY, "entity", F.explode("heading_labels").alias("hl"))
         .join(kg_types.filter(F.col("class").startswith(DBO)), "entity")
         .withColumn("_d", F.levenshtein(entity_localname("class"), F.col("hl")))
         .groupBy(*_KEY)
         .agg(F.least(F.min("_d"), F.lit(100)).cast("double").alias("heading_rank"))
     )
-    out = has.join(scored, _KEY, "left").unionByName(rest, allowMissingColumns=True)
-    return out.fillna({"heading_rank": 100.0})
+    return cands.join(scored, _KEY, "left").fillna({"heading_rank": 100.0})
 
 
 def entity_context(cands: DataFrame, kg_triples: DataFrame) -> DataFrame:
     """P13 (CanonicalTableAnnotator.php:689-725): multiset of dbo/dbr
     neighbours (both directions, dbo/dbr predicates only) per candidate
-    entity, pre-aggregated to counts: (entity, ctx_local, m)."""
-    ents = cands.select("entity").distinct()
+    entity, pre-aggregated to counts: (ent_key, vhash, m) — the neighbour
+    localname travels as a hash because the downstream overlap (P14) is exact
+    string equality."""
+    cands = ensure_keys(cands)
+    ents = cands.select("ent_key", "entity").distinct()
     pred_ok = F.col("pred").startswith(DBO) | F.col("pred").startswith(DBR)
     outgoing = (
         kg_triples.filter(pred_ok & (F.col("obj").startswith(DBO) | F.col("obj").startswith(DBR)))
         .join(ents, kg_triples.subj == ents.entity)
-        .select("entity", F.col("obj").alias("ctx"))
+        .select("ent_key", F.col("obj").alias("ctx"))
     )
     incoming = (
         kg_triples.filter(pred_ok & (F.col("subj").startswith(DBO) | F.col("subj").startswith(DBR)))
         .join(ents, kg_triples.obj == ents.entity)
-        .select("entity", F.col("subj").alias("ctx"))
+        .select("ent_key", F.col("subj").alias("ctx"))
     )
     return (
         outgoing.unionByName(incoming)
-        .withColumn("ctx_local", entity_localname("ctx"))
-        .groupBy("entity", "ctx_local")
+        .withColumn("vhash", F.xxhash64(entity_localname("ctx")))
+        .groupBy("ent_key", "vhash")
         .agg(F.count(F.lit(1)).alias("m"))
     )
 
@@ -94,16 +122,31 @@ def context_similarity(
     """P14 (CanonicalTableAnnotator.php:733-812): count of exact string
     matches (levenshtein == 0 ⇒ equality) between the mention's entry context
     (raw neighbouring DATA values, with multiplicity) and the candidate's
-    entity-context localnames.  Σ n·m via a join on the value itself.
-    Applies to DATA mentions only; heading roles get 0."""
+    entity-context localnames.  Σ n·m via a join on the value hash.
+    Applies to DATA mentions only; heading roles get 0.
+
+    ``entry_ctx``: (ctx_key, vhash, n) from mentions.entry_context, or the
+    legacy (table_id, mention, ctx_value, n) shape (keys derived here).
+    ``ent_ctx``: (ent_key, vhash, m) from entity_context, or legacy
+    (entity, ctx_local, m)."""
+    cands = ensure_keys(cands)
+    if "ctx_key" not in entry_ctx.columns:
+        entry_ctx = entry_ctx.select(
+            F.xxhash64("table_id", "mention").alias("ctx_key"),
+            F.xxhash64("ctx_value").alias("vhash"),
+            "n",
+        )
+    if "ent_key" not in ent_ctx.columns:
+        ent_ctx = ent_ctx.select(
+            F.xxhash64("entity").alias("ent_key"),
+            F.xxhash64("ctx_local").alias("vhash"),
+            "m",
+        )
     overlap = (
         cands.filter(F.col("col_role") == "DATA")
-        .select(*_KEY)
-        .join(entry_ctx, ["table_id", "mention"])
-        .join(
-            ent_ctx.withColumnRenamed("ctx_local", "ctx_value"),
-            ["entity", "ctx_value"],
-        )
+        .select(*_KEY, F.xxhash64("table_id", "mention").alias("ctx_key"))
+        .join(entry_ctx, "ctx_key")
+        .join(ent_ctx, ["ent_key", "vhash"])
         .groupBy(*_KEY)
         .agg(F.sum(F.col("n") * F.col("m")).cast("double").alias("ctx_rank"))
     )
@@ -112,12 +155,15 @@ def context_similarity(
 
 def parent_classes(cands: DataFrame, kg_triples: DataFrame) -> DataFrame:
     """P15 (CanonicalTableAnnotator.php:191-215): dbo:-prefixed objects of any
-    property of the candidate → (entity, pclass), deduped."""
-    ents = cands.select("entity").distinct()
+    property of the candidate → (ent_key, pclass localname), deduped.  All
+    pclasses share the dbo: prefix, so localname order == URI order and the
+    downstream deterministic tiebreak (P16) is unchanged."""
+    cands = ensure_keys(cands)
+    ents = cands.select("ent_key", "entity").distinct()
     return (
         kg_triples.filter(F.col("obj").startswith(DBO))
         .join(ents, kg_triples.subj == ents.entity)
-        .select("entity", F.col("obj").alias("pclass"))
+        .select("ent_key", entity_localname("obj").alias("pclass"))
         .distinct()
     )
 
@@ -133,38 +179,47 @@ def semantic_similarity(cands: DataFrame, pclasses: DataFrame) -> DataFrame:
     first-wins over an endpoint-ordered list is nondeterministic, documented
     delta).  rank = top vote count / 10^k where 10^k brackets the max vote
     count among the mention's candidates (:586-593); 0 when no votes.
+
+    Pair rows carry surrogate longs + class localnames only — the per-table
+    quadratic stage shuffles no full strings.
     """
+    cands = ensure_keys(cands)
+    if "pclass" in pclasses.columns and "ent_key" not in pclasses.columns:
+        pclasses = pclasses.select(
+            F.xxhash64("entity").alias("ent_key"),
+            entity_localname("pclass").alias("pclass"),
+        )
     base = cands.filter(F.col("col_role") == "DATA").select(
-        "table_id", "mention", "entity"
+        F.xxhash64("table_id").alias("table_key"), "mention_key", "ent_key"
     )
-    a = (
-        base.join(pclasses, "entity")
-        .select("table_id", F.col("mention").alias("a_m"), F.col("entity").alias("a_e"), F.col("pclass").alias("a_c"))
+    a = base.join(pclasses, "ent_key").select(
+        "table_key",
+        F.col("mention_key").alias("a_m"),
+        F.col("ent_key").alias("a_e"),
+        F.col("pclass").alias("a_c"),
     )
-    b = (
-        base.join(pclasses, "entity")
-        .select("table_id", F.col("mention").alias("b_m"), F.col("entity").alias("b_e"), F.col("pclass").alias("b_c"))
+    b = base.join(pclasses, "ent_key").select(
+        "table_key",
+        F.col("mention_key").alias("b_m"),
+        F.col("ent_key").alias("b_e"),
+        F.col("pclass").alias("b_c"),
     )
-    pairs = a.join(b, "table_id").filter(F.col("a_m") != F.col("b_m"))
-    dist = pairs.withColumn(
-        "_d", F.levenshtein(entity_localname("a_c"), entity_localname("b_c"))
-    )
+    pairs = a.join(b, "table_key").filter(F.col("a_m") != F.col("b_m"))
+    dist = pairs.withColumn("_d", F.levenshtein("a_c", "b_c"))
     # min distance of a_c to ANY of b's classes, per (a-candidate, b-candidate)
-    per_ac = dist.groupBy("table_id", "a_m", "a_e", "b_m", "b_e", "a_c").agg(
+    per_ac = dist.groupBy("a_m", "a_e", "b_m", "b_e", "a_c").agg(
         F.min("_d").alias("_md")
     )
-    sel_w = Window.partitionBy("table_id", "a_m", "a_e", "b_m", "b_e").orderBy(
+    sel_w = Window.partitionBy("a_m", "a_e", "b_m", "b_e").orderBy(
         F.asc("_md"), F.asc("a_c")
     )
     selected = per_ac.withColumn("_rn", F.row_number().over(sel_w)).filter(
         F.col("_rn") == 1
     )
-    votes = selected.groupBy("table_id", "a_m", "a_e", "a_c").agg(
-        F.count(F.lit(1)).alias("v")
-    )
-    top = votes.groupBy("table_id", "a_m", "a_e").agg(F.max("v").alias("top_v"))
+    votes = selected.groupBy("a_m", "a_e", "a_c").agg(F.count(F.lit(1)).alias("v"))
+    top = votes.groupBy("a_m", "a_e").agg(F.max("v").alias("top_v"))
     # coefficient bracket per mention from the max vote among its candidates
-    coeff = top.groupBy("table_id", "a_m").agg(F.max("top_v").alias("max_v"))
+    coeff = top.groupBy("a_m").agg(F.max("top_v").alias("max_v"))
     # brackets 10/100/1000/10000 exactly as :586-593; max_v ≥ 10000 leaves the
     # coefficient 0 in the reference → rank 0 (quirk preserved)
     coeff = coeff.withColumn(
@@ -175,18 +230,16 @@ def semantic_similarity(cands: DataFrame, pclasses: DataFrame) -> DataFrame:
         ).otherwise(F.lit(0.0)),
     )
     ranked = (
-        top.join(coeff, ["table_id", "a_m"])
+        top.join(coeff, "a_m")
         .withColumn(
             "sem_rank",
             F.when(F.col("coef") != 0, F.col("top_v") / F.col("coef")).otherwise(F.lit(0.0)),
         )
         .select(
-            F.col("table_id"),
-            F.col("a_m").alias("mention"),
-            F.col("a_e").alias("entity"),
+            F.col("a_m").alias("mention_key"),
+            F.col("a_e").alias("ent_key"),
             "sem_rank",
         )
-        .withColumn("col_role", F.lit("DATA"))
     )
     return cands.join(ranked, _KEY, "left").fillna({"sem_rank": 0.0})
 
@@ -196,19 +249,26 @@ def relationship_rank(cands: DataFrame, kg_triples: DataFrame) -> DataFrame:
     ``<candA> ?p <candB>`` where candB belongs to a different mention of the
     same table.  Disabled (weight ≡ 1) in the reference's final aggregation
     (:410) but implemented — it is the CPA signal."""
-    base = cands.select("table_id", "col_role", "mention", "entity")
+    cands = ensure_keys(cands)
+    base = cands.select(
+        F.xxhash64("table_id").alias("table_key"),
+        *_KEY,
+        "entity",
+    )
     b = base.select(
-        "table_id", F.col("mention").alias("b_m"), F.col("entity").alias("b_e")
+        "table_key",
+        F.col("mention_key").alias("b_m"),
+        F.col("entity").alias("b_ent"),
     )
     hits = (
         base.join(kg_triples, base.entity == kg_triples.subj)
         .join(
             b,
-            (F.col("obj") == F.col("b_e"))
-            & (base.table_id == b.table_id)
-            & (F.col("mention") != F.col("b_m")),
+            (F.col("obj") == F.col("b_ent"))
+            & (base.table_key == b.table_key)
+            & (F.col("mention_key") != F.col("b_m")),
         )
-        .groupBy(base.table_id, "col_role", "mention", "entity")
+        .groupBy(*_KEY)
         .agg(F.count(F.lit(1)).cast("double").alias("rel_rank"))
     )
     return cands.join(hits, _KEY, "left").fillna({"rel_rank": 0.0})

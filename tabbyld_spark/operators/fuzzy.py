@@ -39,17 +39,21 @@ def lsh_fuzzy_candidates(
     max_edit: int = MAX_EDIT_DISTANCE,
     threshold: float = JACCARD_DIST_THRESHOLD,
 ) -> DataFrame:
-    """→ (table_id, col_role, mention, entity) for typo mentions.
+    """→ (mention_key, entity) for typo mentions (surrogate-keyed; the
+    mention payload rejoins in generate_candidates).
 
     Deterministic: fixed LSH seed, exact Levenshtein post-filter.
     """
+    from tabbyld_spark.operators.features import ensure_keys
+
     missed = (
-        mentions.join(
+        ensure_keys(mentions)
+        .join(
             kg_labels.select(F.col("surface_form").alias("mention_norm")),
             "mention_norm",
             "left_anti",
         )
-        .select("table_id", "col_role", "mention", "mention_norm")
+        .select("mention_key", "mention_norm")
         .filter(F.length("mention_norm") >= 3)
     )
     # distinct normalized strings: LSH work scales with vocabulary, not cells
@@ -74,6 +78,6 @@ def lsh_fuzzy_candidates(
     return (
         missed.join(pairs, "mention_norm")
         .join(labels, "surface_form")
-        .select("table_id", "col_role", "mention", "entity")
+        .select("mention_key", "entity")
         .distinct()
     )

@@ -56,30 +56,42 @@ def data_mentions(canonical: DataFrame, provided_ner: bool = False) -> DataFrame
     )
 
 
-def heading_mentions(canonical: DataFrame, role: str, provided_ner: bool = False) -> DataFrame:
-    """(table_id, col_role, mention, mention_norm[, ner]) for ROW / COL."""
-    col = _ROLE_COLUMN[role]
-    parts = canonical.select(
-        "table_id",
-        "row_idx",
-        "col_idx",
-        F.explode(split_multivalue(col)).alias("mention"),
-        *(
-            [F.element_at(split_multivalue(f"{col}_ner"), -1).alias("ner")]
-            if provided_ner
-            else []
-        ),
-    ).withColumn("mention_norm", normalize_entry("mention"))
-    parts = parts.filter(F.col("mention_norm") != "")
-    w = Window.partitionBy("table_id", "mention").orderBy(
+def heading_mentions(canonical: DataFrame, roles: tuple[str, ...] = (ROLE_ROW, ROLE_COL), provided_ner: bool = False) -> DataFrame:
+    """(table_id, col_role, mention, mention_norm[, ner]) for the heading
+    roles.  Both roles go through ONE window (keyed by the surrogate mention
+    hash, which encodes the role) — one shuffle instead of two; at 200+
+    stages per pipeline run, stage-count is itself a scaling cost."""
+
+    def _parts(role: str) -> DataFrame:
+        col = _ROLE_COLUMN[role]
+        return canonical.select(
+            "table_id",
+            "row_idx",
+            "col_idx",
+            F.lit(role).alias("col_role"),
+            F.explode(split_multivalue(col)).alias("mention"),
+            *(
+                [F.element_at(split_multivalue(f"{col}_ner"), -1).alias("ner")]
+                if provided_ner
+                else []
+            ),
+        )
+
+    parts = _parts(roles[0])
+    for r in roles[1:]:
+        parts = parts.unionByName(_parts(r))
+    parts = parts.withColumn("mention_norm", normalize_entry("mention")).filter(
+        F.col("mention_norm") != ""
+    )
+    parts = parts.withColumn(
+        "mention_key", F.xxhash64("table_id", "col_role", "mention")
+    )
+    w = Window.partitionBy("mention_key").orderBy(
         F.desc("row_idx"), F.desc("col_idx")
     )
-    out_cols = [
-        F.col("table_id"),
-        F.lit(role).alias("col_role"),
-        "mention",
-        "mention_norm",
-    ] + (["ner"] if provided_ner else [])
+    out_cols = ["table_id", "col_role", "mention", "mention_norm", "mention_key"] + (
+        ["ner"] if provided_ner else []
+    )
     return (
         parts.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -90,17 +102,16 @@ def heading_mentions(canonical: DataFrame, role: str, provided_ner: bool = False
 def all_mentions(canonical: DataFrame, provided_ner: bool = False) -> DataFrame:
     """Union of the three roles with a uniform schema (heading roles carry an
     empty heading_labels array)."""
-    d = data_mentions(canonical, provided_ner)
-    hs = [
-        heading_mentions(canonical, r, provided_ner).withColumn(
-            "heading_labels", F.array().cast("array<string>")
-        )
-        for r in (ROLE_ROW, ROLE_COL)
-    ]
-    out = d
-    for h in hs:
-        out = out.unionByName(h)
-    return out
+    d = data_mentions(canonical, provided_ner).withColumn(
+        "mention_key", F.xxhash64("table_id", "col_role", "mention")
+    )
+    h = heading_mentions(canonical, (ROLE_ROW, ROLE_COL), provided_ner).withColumn(
+        "heading_labels", F.array().cast("array<string>")
+    )
+    # surrogate join key at mention grain — the hot downstream joins, windows
+    # and groupBys cluster on this long instead of three strings (see
+    # operators/features.py scale notes)
+    return d.unionByName(h.select(*d.columns))
 
 
 def entry_context(canonical: DataFrame) -> DataFrame:
@@ -155,7 +166,7 @@ def entry_context(canonical: DataFrame) -> DataFrame:
     on_rh = _pairs("row_heading")
     on_ch = _pairs("column_heading")
     on_both = _pairs("row_heading", "column_heading").withColumnRenamed("n", "n_both")
-    return (
+    full = (
         on_rh.withColumnRenamed("n", "n_rh")
         .join(
             on_ch.withColumnRenamed("n", "n_ch"),
@@ -171,4 +182,11 @@ def entry_context(canonical: DataFrame) -> DataFrame:
             (F.col("n_rh") + F.col("n_ch") - F.col("n_both")).alias("n"),
         )
         .filter(F.col("n") > 0)
+    )
+    # hashed output shape: the overlap consumer (P14) compares values by
+    # exact equality, so only hashes need to travel
+    return full.select(
+        F.xxhash64("table_id", "mention").alias("ctx_key"),
+        F.xxhash64("ctx_value").alias("vhash"),
+        "n",
     )
