@@ -68,12 +68,15 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
 
     # flagship STI pipeline throughput: distributed page generation is timed
-    # separately so triples/sec reflects the pipeline, not the generator
+    # separately so triples/sec reflects the pipeline, not the generator;
+    # same warm-JVM protocol as the queries above — one full pass amortizes
+    # codegen/JIT/python-worker spin-up, the second pass is timed
     kg = build_kg(seed=42)
     pages = gen_pages_df(spark, kg, n_pages=N_PAGES, seed=42, partitions=CPUS)
     pages = pages.persist()
     n_pages_actual = pages.count()  # materialize generator outside the timer
     kgs = kg.to_spark(spark)
+    annotate_pages(pages, kgs, fuzzy_enabled=True).triples.count()  # warm-up
     t0 = time.time()
     res = annotate_pages(pages, kgs, fuzzy_enabled=True)
     n_triples = res.triples.count()

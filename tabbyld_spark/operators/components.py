@@ -7,9 +7,12 @@ skew-aware self-join.  Implemented as plain DataFrame large-star/small-star
 (hash-min label propagation): no extra jars, O(log n) rounds.
 
 Skew handling: the hash-min join keys on current labels; a giant component's
-label becomes a hot key, so AQE skew-join splitting is on (session default)
-and every round rebalances via the groupBy(min) reduction (map-side partial
-aggregation caps per-key fan-in).  Lineage cut with localCheckpoint every
+label becomes a hot key.  Three guards: (1) explicit salting of the
+propagation join (``salt`` parameter — label side replicated, edge side
+bucketed by a hash of the other endpoint), (2) the groupBy(min) reduction is
+map-side partial-aggregated, capping per-key reducer fan-in, (3) AQE
+skew-join splitting when enabled (SPARK_GRAFT_AQE=true — recommended on a
+real skewed-web-graph cluster).  Lineage cut with localCheckpoint every
 round (iterative-loop requirement).
 """
 
@@ -19,9 +22,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iters: int = 25, salt: int = 1
+) -> DataFrame:
     """edges(src, dst) undirected → (node, component) with component = min
-    node id (lexicographic) of the component."""
+    node id (lexicographic) of the component.
+
+    ``salt`` > 1 splits each hot join key across ``salt`` shuffle partitions
+    (north rule: salted, skew-aware self-join): the label side replicates
+    ``salt`` ways and each edge picks one replica by a hash of its OTHER
+    endpoint, so a celebrity node's million edges spread over ``salt``
+    reducers instead of one.  salt=1 keeps the plain equi-join (fixture
+    scale); the result is identical for any salt."""
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -34,10 +46,20 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
     )
     for _ in range(max_iters):
         # propagate: each node adopts min(label of self, labels of neighbours)
-        nbr = (
-            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .select(F.col("src").alias("node"), "component")
-        )
+        if salt > 1:
+            lab_rep = labels.withColumnRenamed("node", "dst").withColumn(
+                "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+            )
+            sym_s = sym.withColumn("_salt", F.pmod(F.xxhash64("src"), F.lit(salt)))
+            nbr = (
+                sym_s.join(lab_rep, ["dst", "_salt"])
+                .select(F.col("src").alias("node"), "component")
+            )
+        else:
+            nbr = (
+                sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+                .select(F.col("src").alias("node"), "component")
+            )
         new_labels = (
             labels.unionByName(nbr)
             .groupBy("node")

@@ -47,6 +47,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # deliberately MODEST heap (executor-realistic ~1 GiB/core): G1 with
+        # a 20g heap grows a multi-GB young gen whose allocation span is
+        # cache/TLB-hostile — measured 2.4x SLOWER (300s vs 127s, local[8],
+        # 80k pages) than the same job on 8g; bigger is not better
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

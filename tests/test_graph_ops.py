@@ -57,6 +57,18 @@ def test_connected_components_star_skew(spark):
     assert comp.select("component").distinct().count() == 1
 
 
+def test_connected_components_salted_identical(spark):
+    """Salting is a physical rebalancing only — labels must be identical to
+    the unsalted run on a skewed star + chain graph."""
+    rows = [("hub", f"n{i:03d}") for i in range(300)] + [
+        ("n000", "m1"), ("m1", "m2"), ("x", "y")
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    plain = sorted(map(tuple, connected_components(edges, salt=1).collect()))
+    salted = sorted(map(tuple, connected_components(edges, salt=4).collect()))
+    assert plain == salted
+
+
 def test_same_as_edges_star_topology(spark):
     cea = spark.createDataFrame(
         [
