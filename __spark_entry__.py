@@ -421,7 +421,7 @@ def q_minhash_pairs(spark, sf_dir):
 
 def q_ann_lsh(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    out = lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+    out = lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5, dim=64)
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
     )
@@ -569,7 +569,7 @@ def oracle_sql() -> dict[str, str]:
         "q_conditional_agg": """
             SELECT o_orderpriority,
                    count(*) AS n_orders,
-                   sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_big,
+                   CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
                    round(avg(o_totalprice), 4) AS avg_price
             FROM orders GROUP BY o_orderpriority
         """,

@@ -1,0 +1,58 @@
+"""Join-strategy helpers.
+
+``adaptive_broadcast`` is the size-gated broadcast hint the candidate lookup
+and gazetteer joins use: the reference resolves each value against a remote
+SPARQL endpoint one query at a time (/root/reference/commands/
+SpreadsheetController.php:80-125), so it never faces the question — but a
+10^12-document pipeline joining mentions against a surface-form dictionary
+must pick between broadcast (dictionary fits executor memory) and shuffle
+(it does not).  An unconditional ``F.broadcast`` hint OOMs the driver the day
+the dictionary outgrows memory; dropping the hint entirely forfeits the
+broadcast even when Catalyst's stats under-estimate an in-memory relation.
+The gate reads the optimizer's own size estimate (no job is run) and hints
+only below the session broadcast threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_UNITS = {"b": 1, "k": 1024, "kb": 1024, "m": 1024**2, "mb": 1024**2,
+          "g": 1024**3, "gb": 1024**3, "t": 1024**4, "tb": 1024**4}
+
+
+def parse_byte_conf(value: str) -> int:
+    """Spark size-conf string ('64m', '10485760b', '-1') → bytes."""
+    v = value.strip().lower()
+    for suffix in sorted(_UNITS, key=len, reverse=True):
+        if v.endswith(suffix):
+            return int(float(v[: -len(suffix)]) * _UNITS[suffix])
+    return int(v)
+
+
+def plan_size_estimate(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes statistic for the optimized plan (driver-side
+    metadata only — runs no job; parquet sources use file-footer stats,
+    in-memory relations use the serialized batch estimate)."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    return int(str(stats.sizeInBytes()))
+
+
+def adaptive_broadcast(df: DataFrame, threshold_bytes: int | None = None) -> DataFrame:
+    """Return ``broadcast(df)`` when the plan-size estimate fits under the
+    (session) broadcast threshold, else ``df`` unchanged so the join planner
+    falls back to a shuffle join.  Threshold -1 (broadcast disabled) always
+    returns the un-hinted frame."""
+    if threshold_bytes is None:
+        conf = df.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        )
+        threshold_bytes = parse_byte_conf(conf)
+    if threshold_bytes < 0:
+        return df
+    try:
+        est = plan_size_estimate(df)
+    except Exception:  # stats unavailable on some plan shapes — hint is safe
+        return F.broadcast(df)
+    return F.broadcast(df) if est <= threshold_bytes else df

@@ -68,10 +68,14 @@ def build_gazetteer(kg_labels: DataFrame, kg_types: DataFrame, kg_subclass: Data
 def attach_ner(mentions: DataFrame, gazetteer: DataFrame) -> DataFrame:
     """Fill a ``ner`` column on (…, mention, mention_norm): literal regex
     first, then broadcast gazetteer lookup on the normalized form, else NONE."""
+    from tabbyld_spark.functions.joins import adaptive_broadcast
+
     m = mentions.withColumn("_lit", literal_ner("mention"))
     m = m.join(
-        F.broadcast(gazetteer.withColumnRenamed("surface_form", "mention_norm")
-                    .withColumnRenamed("ner", "_gaz")),
+        adaptive_broadcast(
+            gazetteer.withColumnRenamed("surface_form", "mention_norm")
+            .withColumnRenamed("ner", "_gaz")
+        ),
         "mention_norm",
         "left",
     )

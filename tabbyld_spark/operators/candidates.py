@@ -52,11 +52,15 @@ def split_literal_mentions(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def exact_candidates(mentions: DataFrame, kg_labels: DataFrame) -> DataFrame:
-    """Broadcast join on the normalized surface form."""
+    """Join on the normalized surface form — broadcast when the label table
+    fits (size-gated; a planetary surface-form dictionary falls back to a
+    shuffle join instead of OOMing the driver)."""
+    from tabbyld_spark.functions.joins import adaptive_broadcast
+
     lab = kg_labels.select(
         F.col("surface_form").alias("mention_norm"), F.col("entity")
     )
-    return mentions.join(F.broadcast(lab), "mention_norm")
+    return mentions.join(adaptive_broadcast(lab), "mention_norm")
 
 
 def with_levenshtein(cands: DataFrame) -> DataFrame:

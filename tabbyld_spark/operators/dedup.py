@@ -152,13 +152,66 @@ def embedding_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Cosine near-duplicate pairs (brute-force; for the scale path see
-    similarity.lsh_topk which reuses the hyperplane-bucket blocking)."""
+    """Cosine near-duplicate pairs (brute-force BASELINE — quadratic crossJoin,
+    fixture/verification scale only; the production path is
+    :func:`embedding_dedup_pairs_blocked`)."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def embedding_dedup_pairs_blocked(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Scale path: hyperplane-LSH band blocking (same deterministic planes as
+    similarity.lsh_topk), exact cosine rescoring on the bucketed shortlist.
+    Only vectors agreeing on ALL sign bits of some band are compared — an
+    equi-join on (band, bucket) instead of the |emb|² crossJoin.  Near-dup
+    pairs (cos ≥ 0.95 ⇒ angle ≤ 18°) land in a shared band w.h.p.; recall vs
+    the brute-force baseline is pytest-gated (tests/test_dedup.py)."""
+    from tabbyld_spark.functions.vectors import dot
+    from tabbyld_spark.operators.similarity import _hyperplanes
+
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    planes_df = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in _hyperplanes(dim, n_planes, seed)]
+    )
+    per_band = n_planes // n_bands
+    sig = F.transform(
+        planes_df,
+        lambda plane: F.when(dot(F.col(vec_col), plane) >= 0, F.lit("1")).otherwise(F.lit("0")),
+    )
+    banded = emb.withColumn("_sig", sig).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.concat_ws("", F.slice("_sig", b * per_band + 1, per_band)),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select("band", "bucket", F.col("vid").alias("id_a"), F.col("v").alias("va"))
+    b = banded.select("band", "bucket", F.col("vid").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()
         .withColumn("cos", cosine("va", "vb"))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")

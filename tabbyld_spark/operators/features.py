@@ -168,7 +168,7 @@ def parent_classes(cands: DataFrame, kg_triples: DataFrame) -> DataFrame:
     )
 
 
-def semantic_similarity(cands: DataFrame, pclasses: DataFrame) -> DataFrame:
+def semantic_similarity(cands: DataFrame, pclasses: DataFrame, salt: int = 1) -> DataFrame:
     """P16 (CanonicalTableAnnotator.php:513-623): cross-cell candidate class
     voting within each table.
 
@@ -182,6 +182,13 @@ def semantic_similarity(cands: DataFrame, pclasses: DataFrame) -> DataFrame:
 
     Pair rows carry surrogate longs + class localnames only — the per-table
     quadratic stage shuffles no full strings.
+
+    ``salt`` > 1 splits the per-table pair expansion across ``salt`` reducers
+    (SURVEY §2.1 P16; same scheme as operators/components.py): the ``a`` side
+    replicates ``salt`` ways, each ``b`` row picks one replica by a hash of
+    its candidate key — one giant table (many mentions x capped candidates x
+    classes) no longer lands on a single hot reducer.  Output is identical
+    for any salt (proven by tests/test_features.py).
     """
     cands = ensure_keys(cands)
     if "pclass" in pclasses.columns and "ent_key" not in pclasses.columns:
@@ -204,7 +211,15 @@ def semantic_similarity(cands: DataFrame, pclasses: DataFrame) -> DataFrame:
         F.col("ent_key").alias("b_e"),
         F.col("pclass").alias("b_c"),
     )
-    pairs = a.join(b, "table_key").filter(F.col("a_m") != F.col("b_m"))
+    if salt > 1:
+        a = a.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        b = b.withColumn("_salt", F.pmod(F.xxhash64("b_m", "b_e"), F.lit(salt)))
+        pairs = a.join(b, ["table_key", "_salt"]).drop("_salt")
+    else:
+        pairs = a.join(b, "table_key")
+    pairs = pairs.filter(F.col("a_m") != F.col("b_m"))
     dist = pairs.withColumn("_d", F.levenshtein("a_c", "b_c"))
     # min distance of a_c to ANY of b's classes, per (a-candidate, b-candidate)
     per_ac = dist.groupBy("a_m", "a_e", "b_m", "b_e", "a_c").agg(

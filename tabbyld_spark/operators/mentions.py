@@ -60,7 +60,16 @@ def heading_mentions(canonical: DataFrame, roles: tuple[str, ...] = (ROLE_ROW, R
     """(table_id, col_role, mention, mention_norm[, ner]) for the heading
     roles.  Both roles go through ONE window (keyed by the surrogate mention
     hash, which encodes the role) — one shuffle instead of two; at 200+
-    stages per pipeline run, stage-count is itself a scaling cost."""
+    stages per pipeline run, stage-count is itself a scaling cost.
+
+    ``roles`` accepts a bare role string too (legacy call shape)."""
+    if isinstance(roles, str):
+        roles = (roles,)
+    unknown = [r for r in roles if r not in _ROLE_COLUMN]
+    if unknown:
+        raise ValueError(
+            f"unknown heading role(s) {unknown!r}; expected one of {sorted(_ROLE_COLUMN)}"
+        )
 
     def _parts(role: str) -> DataFrame:
         col = _ROLE_COLUMN[role]

@@ -114,12 +114,21 @@ def ivf_topk(
         assigned = _assign_centroid(
             c.withColumnRenamed("cv", vec_col), cents, vec_col, "neighbor_id"
         )
-        # element-wise mean per centroid: posexplode → avg per coordinate →
-        # rebuild the array in coordinate order
+        # element-wise mean per centroid: posexplode → mean per coordinate →
+        # rebuild the array in coordinate order.  The sum runs over an exact
+        # DECIMAL cast, not float avg: float addition is order-dependent, so
+        # a partitioning change could flip near-tie centroid assignments —
+        # decimal sums are associative and the mean is repartition-invariant
         cents = (
             assigned.select("centroid", F.posexplode(vec_col).alias("pos", "x"))
             .groupBy("centroid", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(27,12)")) / F.count(F.lit(1))
+                )
+                .cast("double")
+                .alias("m")
+            )
             .groupBy("centroid")
             .agg(
                 F.transform(
@@ -168,12 +177,17 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH: sign bits of n_planes projections, split into
     n_bands bands; vectors sharing any band bucket are candidates; exact
-    cosine rescoring + window top-k on the shortlist."""
-    spark = corpus.sparkSession
-    dim = len(corpus.select(vec_col).first()[0])
+    cosine rescoring + window top-k on the shortlist.
+
+    Pass ``dim`` explicitly in production — the fallback probes the corpus
+    with a driver-side ``.first()`` (an action inside an operator), fine for
+    fixtures but a needless job against a 10^9-vector table."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
     planes_df = F.array(
         *[F.array(*[F.lit(float(v)) for v in row]) for row in planes]

@@ -58,32 +58,55 @@ def annotate_rows(canonical: DataFrame, cea: DataFrame) -> DataFrame:
     )
     out = canonical.join(data_w, ["table_id", "data"], "left")
 
-    def _heading(col: str, role: str) -> DataFrame:
-        w = cea.filter(F.col("col_role") == role).select(
-            "table_id", F.col("mention").alias("part"), F.col("entity").alias("part_uri")
-        )
-        parts = canonical.select(
-            "table_id", "row_idx", "col_idx",
-            F.posexplode(split_multivalue(col)).alias("pos", "part"),
-        )
-        return (
-            parts.join(w, ["table_id", "part"], "left")
-            .groupBy("table_id", "row_idx", "col_idx")
-            .agg(
-                F.concat_ws(
-                    " | ",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", F.coalesce("part_uri", "part").alias("v")))
-                        ),
-                        lambda s: s["v"],
-                    ),
-                ).alias(f"{col}_annotated")
+    # both heading columns annotated in ONE pass: explode row+column parts
+    # tagged by role, join the ROW/COL winners once, and pivot back to the two
+    # packed columns in a single groupBy — one join + one shuffle instead of
+    # the 2x(join+groupBy+join-back) a per-column helper would cost (stage
+    # count is itself a scaling cost at 200+ stages per pipeline run)
+    parts = canonical.select(
+        "table_id",
+        "row_idx",
+        "col_idx",
+        F.explode(
+            F.array(
+                F.struct(F.lit("ROW").alias("col_role"), split_multivalue("row_heading").alias("arr")),
+                F.struct(F.lit("COL").alias("col_role"), split_multivalue("column_heading").alias("arr")),
             )
+        ).alias("h"),
+    ).select(
+        "table_id", "row_idx", "col_idx", F.col("h.col_role").alias("col_role"),
+        F.posexplode("h.arr").alias("pos", "part"),
+    )
+    w = cea.filter(F.col("col_role").isin("ROW", "COL")).select(
+        "table_id", "col_role", F.col("mention").alias("part"), F.col("entity").alias("part_uri")
+    )
+
+    def _packed(role: str) -> F.Column:
+        # collect_list drops the nulls the F.when leaves on the other role
+        return F.concat_ws(
+            " | ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("col_role") == role,
+                            F.struct("pos", F.coalesce("part_uri", "part").alias("v")),
+                        )
+                    )
+                ),
+                lambda s: s["v"],
+            ),
         )
 
-    out = out.join(_heading("row_heading", "ROW"), ["table_id", "row_idx", "col_idx"], "left")
-    out = out.join(_heading("column_heading", "COL"), ["table_id", "row_idx", "col_idx"], "left")
+    ann = (
+        parts.join(w, ["table_id", "col_role", "part"], "left")
+        .groupBy("table_id", "row_idx", "col_idx")
+        .agg(
+            _packed("ROW").alias("row_heading_annotated"),
+            _packed("COL").alias("column_heading_annotated"),
+        )
+    )
+    out = out.join(ann, ["table_id", "row_idx", "col_idx"], "left")
     return out.select(
         "table_id",
         "row_idx",

@@ -15,6 +15,7 @@ is a shuffle boundary Catalyst schedules.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -46,8 +47,16 @@ def annotate_canonical(
     kg: dict[str, DataFrame],
     provided_ner: bool = False,
     fuzzy_enabled: bool = True,
+    p16_salt: int | None = None,
 ) -> AnnotationResult:
-    """Annotate canonical tables against the KG (S2-S6)."""
+    """Annotate canonical tables against the KG (S2-S6).
+
+    ``p16_salt``: salt factor for the P16 per-table pair join (default from
+    SPARK_GRAFT_P16_SALT, else 1).  Set > 1 on clusters where one giant
+    table's candidate pairs would land on a single reducer — output is
+    identical for any value."""
+    if p16_salt is None:
+        p16_salt = int(os.environ.get("SPARK_GRAFT_P16_SALT", "1"))
     mentions = all_mentions(canonical, provided_ner=provided_ner)
     if not provided_ner:
         gaz = build_gazetteer(kg["kg_labels"], kg["kg_types"], kg["kg_subclass"])
@@ -75,7 +84,7 @@ def annotate_canonical(
     # per occurrence (no cross-operator CSE) — measured 354s → 230s at 2 cores
     cands = FT.context_similarity(cands, ectx, kctx).localCheckpoint()
     pcl = FT.parent_classes(cands, kg["kg_triples"])
-    cands = FT.semantic_similarity(cands, pcl).localCheckpoint()
+    cands = FT.semantic_similarity(cands, pcl, salt=p16_salt).localCheckpoint()
 
     scored = aggregate_ranks(cands)
     cea = cea_top1(scored, literals).localCheckpoint()

@@ -31,13 +31,19 @@ def get_spark(
     # multi-executor cluster with skewed web data, turn it ON
     # (SPARK_GRAFT_AQE=true) for runtime skew-join splitting + coalescing.
     aqe = os.environ.get("SPARK_GRAFT_AQE", "false")
-    # shuffle + block-manager spill dir: prefer tmpfs — local shuffle writes
-    # otherwise bottleneck on the boot disk (~600 MB/s here), a fixed-rate
-    # resource that caps scaling exactly like an undersized disk on a real
-    # executor; clusters put shuffle on NVMe/ramdisk for the same reason
+    # shuffle + block-manager spill dir (SPARK_GRAFT_LOCAL_DIR, documented in
+    # README; set it to "" to force Spark's default).  Unset, tmpfs is used
+    # only when /dev/shm has generous headroom (≥ 16 GiB free): tmpfs pages
+    # count against RAM/cgroup limits, so blindly defaulting there can turn
+    # disk spill into ENOSPC or an OOM-kill on memory-constrained hosts; with
+    # the headroom check it only kicks in on boxes like this one (128 GiB RAM,
+    # 64 GiB /dev/shm) where shuffle volume per run is a few GiB and the boot
+    # disk (~600 MB/s) is otherwise the scaling cap.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-local"
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= 16 * 1024**3:
+            local_dir = "/dev/shm/spark-local"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")

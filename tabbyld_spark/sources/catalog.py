@@ -21,7 +21,8 @@ import shutil
 from dataclasses import dataclass
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -50,8 +51,14 @@ class SnapshotCatalog:
         snap_id = f"snap-{len(man['history']):06d}"
         tdir = self._table_dir(table)
         data_dir = os.path.join(tdir, snap_id)
-        df.write.mode("overwrite").parquet(data_dir)
-        n_rows = df.sparkSession.read.parquet(data_dir).count()
+        # row count via an attached observation — captured DURING the write
+        # job, so a commit costs exactly one scan (no read-back of the full
+        # snapshot to count rows; at 100 TB that second scan doubles stage I/O)
+        obs = Observation(f"catalog-{table}-{snap_id}")
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(data_dir)
+        n_rows = obs.get["rows"]
         man["current"] = snap_id
         man["history"].append(
             {"snapshot": snap_id, "rows": n_rows, "lineage": lineage or {}}

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from tabbyld_spark.operators.dedup import (
     embedding_dedup_pairs,
+    embedding_dedup_pairs_blocked,
     exact_dedup,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
@@ -92,3 +93,22 @@ def test_embedding_dedup_planted(spark):
     pairs = embedding_dedup_pairs(emb.unionByName(dup), threshold=0.999)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert {(i, i + 1000) for i in range(5)} <= got
+
+
+def test_embedding_dedup_blocked_recall(spark):
+    """The LSH-blocked path must recover the brute-force near-dup pairs:
+    exact duplicates share every band bucket, so planted-pair recall is 1.0;
+    overall recall vs brute force is gated at ≥ 0.9."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(60)
+    dup = emb.limit(8).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label"
+    )
+    allv = emb.unionByName(dup)
+    brute = {(r["id_a"], r["id_b"]) for r in embedding_dedup_pairs(allv, threshold=0.98).collect()}
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dedup_pairs_blocked(allv, threshold=0.98, dim=64).collect()
+    }
+    assert blocked <= brute  # exact rescoring: no false positives
+    assert {(i, i + 1000) for i in range(8)} <= blocked
+    assert len(blocked & brute) >= 0.9 * len(brute)

@@ -136,6 +136,64 @@ def test_semantic_similarity_votes_and_coefficient(spark):
     assert got[("b", DBR + "b1")] == pytest.approx(0.2)
 
 
+def test_semantic_similarity_salt_invariant(spark):
+    """Salted pair join (skew guard) must produce bit-identical sem_rank."""
+    rows = []
+    for m in range(6):
+        for c in range(3):
+            rows.append(("t", "DATA", f"m{m}", f"M{m}", "NONE", DBR + f"e{m}_{c}"))
+    cands = _cands(spark, rows)
+    pcl = spark.createDataFrame(
+        [(DBR + f"e{m}_{c}", DBO + ["X", "Y", "Zzz"][(m + c) % 3])
+         for m in range(6) for c in range(3)],
+        "entity string, pclass string",
+    )
+    base = {
+        (r["mention"], r["entity"]): r["sem_rank"]
+        for r in FT.semantic_similarity(cands, pcl, salt=1).collect()
+    }
+    for salt in (3, 8):
+        salted = {
+            (r["mention"], r["entity"]): r["sem_rank"]
+            for r in FT.semantic_similarity(cands, pcl, salt=salt).collect()
+        }
+        assert salted == base
+
+
+def test_relationship_rank_cross_mention_triples(spark):
+    """P17 (CanonicalTableAnnotator.php:245-372): count KG triples from a
+    candidate to a DIFFERENT mention's candidate in the same table; same-
+    mention and cross-table links must not count."""
+    cands = _cands(
+        spark,
+        [
+            ("t", "DATA", "a", "A", "NONE", DBR + "a1"),
+            ("t", "DATA", "b", "B", "NONE", DBR + "b1"),
+            ("t", "DATA", "b", "B", "NONE", DBR + "b2"),
+            ("u", "DATA", "c", "C", "NONE", DBR + "c1"),
+        ],
+    )
+    kg_triples = spark.createDataFrame(
+        [
+            (DBR + "a1", DBO + "p", DBR + "b1"),   # counts for a1 (→ b's cand)
+            (DBR + "a1", DBO + "q", DBR + "b2"),   # counts for a1
+            (DBR + "b1", DBO + "p", DBR + "a1"),   # counts for b1
+            (DBR + "a1", DBO + "p", DBR + "a1"),   # self/same-mention: no
+            (DBR + "a1", DBO + "p", DBR + "c1"),   # cross-table: no
+            (DBR + "x", DBO + "p", DBR + "y"),     # unrelated: no
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        (r["mention"], r["entity"]): r["rel_rank"]
+        for r in FT.relationship_rank(cands, kg_triples).collect()
+    }
+    assert got[("a", DBR + "a1")] == 2.0
+    assert got[("b", DBR + "b1")] == 1.0
+    assert got[("b", DBR + "b2")] == 0.0
+    assert got[("c", DBR + "c1")] == 0.0
+
+
 def test_literal_shortcut_and_cap(spark):
     m = spark.createDataFrame(
         [
