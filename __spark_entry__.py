@@ -277,6 +277,142 @@ def q_ner_literal(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# STI feature stack P10-P19 over the materialized oracle fixture
+# (.sti_fixture/ — canonical tables + micro-KG + DuckDB-derived candidates;
+# see tabbyld_spark/fixtures/sti_fixture.py for why this isn't circular)
+# --------------------------------------------------------------------------
+
+def _sti_t(spark: SparkSession, name: str) -> DataFrame:
+    from tabbyld_spark.fixtures.sti_fixture import ensure_sti_fixture
+
+    return spark.read.parquet(f"{ensure_sti_fixture()}/{name}.parquet")
+
+
+_STI_KEY = ["table_id", "col_role", "mention", "entity"]
+
+
+def q_ner_class_rank(spark, sf_dir):
+    from tabbyld_spark.operators import features as FT
+
+    out = FT.ner_class_rank(
+        _sti_t(spark, "candidates"), _sti_t(spark, "kg_types"), _sti_t(spark, "kg_subclass")
+    )
+    return out.select(*_STI_KEY, F.round("ner_rank", 6).alias("ner_rank"))
+
+
+def q_heading_rank(spark, sf_dir):
+    from tabbyld_spark.operators import features as FT
+
+    out = FT.heading_rank(_sti_t(spark, "candidates"), _sti_t(spark, "kg_types"))
+    return out.select(*_STI_KEY, F.round("heading_rank", 6).alias("heading_rank"))
+
+
+def q_entry_context(spark, sf_dir):
+    from tabbyld_spark.operators.mentions import entry_context
+
+    out = entry_context(_sti_t(spark, "canonical"), hashed=False)
+    return out.select(
+        "table_id", "mention", "ctx_value", F.col("n").cast("long").alias("n")
+    )
+
+
+def q_entity_context(spark, sf_dir):
+    from tabbyld_spark.operators import features as FT
+
+    out = FT.entity_context(
+        _sti_t(spark, "candidates"), _sti_t(spark, "kg_triples"), hashed=False
+    )
+    return out.select("entity", "ctx_local", F.col("m").cast("long").alias("m"))
+
+
+def q_context_similarity(spark, sf_dir):
+    from tabbyld_spark.operators import features as FT
+    from tabbyld_spark.operators.mentions import entry_context
+
+    cands = _sti_t(spark, "candidates")
+    trip = _sti_t(spark, "kg_triples")
+    out = FT.context_similarity(
+        cands, entry_context(_sti_t(spark, "canonical")), FT.entity_context(cands, trip)
+    )
+    return out.select(*_STI_KEY, F.round("ctx_rank", 6).alias("ctx_rank"))
+
+
+def q_parent_classes(spark, sf_dir):
+    from tabbyld_spark.operators import features as FT
+
+    return FT.parent_classes(
+        _sti_t(spark, "candidates"), _sti_t(spark, "kg_triples"), hashed=False
+    ).select("entity", "pclass")
+
+
+def q_semantic_similarity(spark, sf_dir):
+    from tabbyld_spark.operators import features as FT
+
+    cands = _sti_t(spark, "candidates")
+    trip = _sti_t(spark, "kg_triples")
+    out = FT.semantic_similarity(cands, FT.parent_classes(cands, trip))
+    return out.select(*_STI_KEY, F.round("sem_rank", 6).alias("sem_rank"))
+
+
+def q_relationship_rank(spark, sf_dir):
+    from tabbyld_spark.operators import features as FT
+
+    out = FT.relationship_rank(_sti_t(spark, "candidates"), _sti_t(spark, "kg_triples"))
+    return out.select(*_STI_KEY, F.round("rel_rank", 6).alias("rel_rank"))
+
+
+def _sti_scored(spark) -> DataFrame:
+    from tabbyld_spark.operators import features as FT
+    from tabbyld_spark.operators.aggregate import aggregate_ranks
+    from tabbyld_spark.operators.mentions import entry_context
+
+    cands = _sti_t(spark, "candidates")
+    trip = _sti_t(spark, "kg_triples")
+    cands = FT.ner_class_rank(cands, _sti_t(spark, "kg_types"), _sti_t(spark, "kg_subclass"))
+    cands = FT.heading_rank(cands, _sti_t(spark, "kg_types"))
+    cands = FT.context_similarity(
+        cands, entry_context(_sti_t(spark, "canonical")), FT.entity_context(cands, trip)
+    )
+    cands = FT.semantic_similarity(cands, FT.parent_classes(cands, trip))
+    return aggregate_ranks(cands)
+
+
+def q_agg_rank(spark, sf_dir):
+    return _sti_scored(spark).select(*_STI_KEY, F.round("agg_rank", 6).alias("agg_rank"))
+
+
+def q_sti_cea_exact(spark, sf_dir):
+    """Flagship CEA on the exact/provided-NER path (fuzzy LSH off — the
+    SQL-expressible configuration), full chain from the canonical fixture:
+    mentions → candidates → five features → aggregation → argmax + literals."""
+    from tabbyld_spark.plans.pipeline import annotate_canonical
+
+    kg = {
+        name: _sti_t(spark, name)
+        for name in ("kg_labels", "kg_types", "kg_subclass", "kg_triples")
+    }
+    res = annotate_canonical(
+        _sti_t(spark, "canonical"), kg, provided_ner=True, fuzzy_enabled=False
+    )
+    return res.cea.select(*_STI_KEY, F.round("agg_rank", 6).alias("agg_rank"))
+
+
+def q_sti_triples_exact(spark, sf_dir):
+    """Full exact-path chain THROUGH triple emission: CEA + CTA/CPA voting +
+    (subj, pred, obj) formatting, all with a DuckDB twin."""
+    from tabbyld_spark.plans.pipeline import annotate_canonical
+
+    kg = {
+        name: _sti_t(spark, name)
+        for name in ("kg_labels", "kg_types", "kg_subclass", "kg_triples")
+    }
+    res = annotate_canonical(
+        _sti_t(spark, "canonical"), kg, provided_ner=True, fuzzy_enabled=False
+    )
+    return res.triples
+
+
+# --------------------------------------------------------------------------
 # training-data ops (documents / embeddings)
 # --------------------------------------------------------------------------
 
@@ -474,6 +610,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_candidates_exact": q_candidates_exact,
         "q_cea_top1": q_cea_top1,
         "q_ner_literal": q_ner_literal,
+        "q_ner_class_rank": q_ner_class_rank,
+        "q_heading_rank": q_heading_rank,
+        "q_entry_context": q_entry_context,
+        "q_entity_context": q_entity_context,
+        "q_context_similarity": q_context_similarity,
+        "q_parent_classes": q_parent_classes,
+        "q_semantic_similarity": q_semantic_similarity,
+        "q_relationship_rank": q_relationship_rank,
+        "q_agg_rank": q_agg_rank,
+        "q_sti_cea_exact": q_sti_cea_exact,
+        "q_sti_triples_exact": q_sti_triples_exact,
         "q_dedup_exact": q_dedup_exact,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_simhash": q_simhash,
@@ -506,6 +653,10 @@ def _stop_list(lang: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from tabbyld_spark.fixtures.sti_fixture import ensure_sti_fixture
+    from tabbyld_spark.fixtures.sti_sql import sti_oracle_queries
+
+    sti = sti_oracle_queries(ensure_sti_fixture())
     norm_p_name = normalize_entry_sql("p_name")
     norm_tok = normalize_entry_sql("tok")
     langs = sorted(STOPWORDS)
@@ -516,6 +667,7 @@ def oracle_sql() -> dict[str, str]:
         for lang in langs
     )
     return {
+        **sti,
         "q_filter_project": """
             SELECT l_orderkey, l_linenumber,
                    round(l_extendedprice * (1 - l_discount), 4) AS net_price

@@ -89,28 +89,36 @@ def heading_rank(cands: DataFrame, kg_types: DataFrame) -> DataFrame:
     return cands.join(scored, _KEY, "left").fillna({"heading_rank": 100.0})
 
 
-def entity_context(cands: DataFrame, kg_triples: DataFrame) -> DataFrame:
+def entity_context(cands: DataFrame, kg_triples: DataFrame, hashed: bool = True) -> DataFrame:
     """P13 (CanonicalTableAnnotator.php:689-725): multiset of dbo/dbr
     neighbours (both directions, dbo/dbr predicates only) per candidate
     entity, pre-aggregated to counts: (ent_key, vhash, m) — the neighbour
     localname travels as a hash because the downstream overlap (P14) is exact
-    string equality."""
+    string equality.  ``hashed=False`` returns the un-hashed
+    (entity, ctx_local, m) shape (oracle compare; wider shuffle — the hot
+    pipeline path keeps the surrogate-long grouping)."""
     cands = ensure_keys(cands)
     ents = cands.select("ent_key", "entity").distinct()
     pred_ok = F.col("pred").startswith(DBO) | F.col("pred").startswith(DBR)
     outgoing = (
         kg_triples.filter(pred_ok & (F.col("obj").startswith(DBO) | F.col("obj").startswith(DBR)))
         .join(ents, kg_triples.subj == ents.entity)
-        .select("ent_key", F.col("obj").alias("ctx"))
+        .select("ent_key", "entity", F.col("obj").alias("ctx"))
     )
     incoming = (
         kg_triples.filter(pred_ok & (F.col("subj").startswith(DBO) | F.col("subj").startswith(DBR)))
         .join(ents, kg_triples.obj == ents.entity)
-        .select("ent_key", F.col("subj").alias("ctx"))
+        .select("ent_key", "entity", F.col("subj").alias("ctx"))
     )
+    both = outgoing.unionByName(incoming)
+    if not hashed:
+        return (
+            both.withColumn("ctx_local", entity_localname("ctx"))
+            .groupBy("entity", "ctx_local")
+            .agg(F.count(F.lit(1)).alias("m"))
+        )
     return (
-        outgoing.unionByName(incoming)
-        .withColumn("vhash", F.xxhash64(entity_localname("ctx")))
+        both.withColumn("vhash", F.xxhash64(entity_localname("ctx")))
         .groupBy("ent_key", "vhash")
         .agg(F.count(F.lit(1)).alias("m"))
     )
@@ -153,17 +161,19 @@ def context_similarity(
     return cands.join(overlap, _KEY, "left").fillna({"ctx_rank": 0.0})
 
 
-def parent_classes(cands: DataFrame, kg_triples: DataFrame) -> DataFrame:
+def parent_classes(cands: DataFrame, kg_triples: DataFrame, hashed: bool = True) -> DataFrame:
     """P15 (CanonicalTableAnnotator.php:191-215): dbo:-prefixed objects of any
     property of the candidate → (ent_key, pclass localname), deduped.  All
     pclasses share the dbo: prefix, so localname order == URI order and the
-    downstream deterministic tiebreak (P16) is unchanged."""
+    downstream deterministic tiebreak (P16) is unchanged.  ``hashed=False``
+    returns (entity, pclass) for the oracle compare."""
     cands = ensure_keys(cands)
     ents = cands.select("ent_key", "entity").distinct()
+    key = F.col("ent_key") if hashed else F.col("entity")
     return (
         kg_triples.filter(F.col("obj").startswith(DBO))
         .join(ents, kg_triples.subj == ents.entity)
-        .select("ent_key", entity_localname("obj").alias("pclass"))
+        .select(key.alias("ent_key" if hashed else "entity"), entity_localname("obj").alias("pclass"))
         .distinct()
     )
 

@@ -123,10 +123,11 @@ def all_mentions(canonical: DataFrame, provided_ner: bool = False) -> DataFrame:
     return d.unionByName(h.select(*d.columns))
 
 
-def entry_context(canonical: DataFrame) -> DataFrame:
-    """P12: (table_id, mention, ctx_value, n) — multiset of neighbouring DATA
-    values per DATA mention, aggregated to counts (n) so the downstream
-    similarity join moves counts, not rows.
+def entry_context(canonical: DataFrame, hashed: bool = True) -> DataFrame:
+    """P12: (ctx_key, vhash, n) — multiset of neighbouring DATA values per
+    DATA mention, aggregated to counts (n) so the downstream similarity join
+    moves counts, not rows.  ``hashed=False`` keeps the raw
+    (table_id, mention, ctx_value, n) shape (oracle compare).
 
     Reference getEntryContext (CanonicalTableAnnotator.php:632-681): a row
     matches if it shares a non-empty row_heading OR column_heading with a row
@@ -192,6 +193,8 @@ def entry_context(canonical: DataFrame) -> DataFrame:
         )
         .filter(F.col("n") > 0)
     )
+    if not hashed:
+        return full
     # hashed output shape: the overlap consumer (P14) compares values by
     # exact equality, so only hashes need to travel
     return full.select(
