@@ -412,6 +412,29 @@ def q_sti_triples_exact(spark, sf_dir):
     return res.triples
 
 
+def q_annotate_rows(spark, sf_dir):
+    """P21: annotated-row materialization (URI substitution + multi-value
+    repack) over the exact-path CEA — DuckDB twin included."""
+    from tabbyld_spark.operators.triples import annotate_rows
+    from tabbyld_spark.plans.pipeline import annotate_canonical
+
+    kg = {
+        name: _sti_t(spark, name)
+        for name in ("kg_labels", "kg_types", "kg_subclass", "kg_triples")
+    }
+    canonical = _sti_t(spark, "canonical")
+    res = annotate_canonical(canonical, kg, provided_ner=True, fuzzy_enabled=False)
+    out = annotate_rows(canonical, res.cea)
+    return out.select(
+        "table_id",
+        F.col("row_idx").cast("long").alias("row_idx"),
+        F.col("col_idx").cast("long").alias("col_idx"),
+        "data",
+        "row_heading",
+        "column_heading",
+    )
+
+
 # --------------------------------------------------------------------------
 # training-data ops (documents / embeddings)
 # --------------------------------------------------------------------------
@@ -621,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_agg_rank": q_agg_rank,
         "q_sti_cea_exact": q_sti_cea_exact,
         "q_sti_triples_exact": q_sti_triples_exact,
+        "q_annotate_rows": q_annotate_rows,
         "q_dedup_exact": q_dedup_exact,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_simhash": q_simhash,

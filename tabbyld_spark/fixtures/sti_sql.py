@@ -357,6 +357,52 @@ def _triples_ctes(canonical: str) -> str:
     """
 
 
+def _annotate_rows_ctes(canonical: str) -> str:
+    """P21 (SpreadsheetController.php:569-684) on top of ``cea``: rebuild each
+    canonical row substituting winning URIs; multi-valued headings re-packed
+    with " | " preserving part order."""
+    return f"""
+        ar_parts AS (
+            SELECT table_id, row_idx, col_idx, 'ROW' AS col_role, r.i AS pos,
+                   parts[r.i] AS part
+            FROM (SELECT table_id, row_idx, col_idx,
+                         string_split(row_heading, ' | ') AS parts FROM {canonical}),
+                 LATERAL unnest(range(1, len(parts) + 1)) AS r(i)
+            UNION ALL
+            SELECT table_id, row_idx, col_idx, 'COL' AS col_role, r.i AS pos,
+                   parts[r.i] AS part
+            FROM (SELECT table_id, row_idx, col_idx,
+                         string_split(column_heading, ' | ') AS parts FROM {canonical}),
+                 LATERAL unnest(range(1, len(parts) + 1)) AS r(i)
+        ),
+        ar_packed AS (
+            SELECT p.table_id, p.row_idx, p.col_idx,
+                   string_agg(CASE WHEN p.col_role = 'ROW'
+                                   THEN coalesce(w.entity, p.part) END, ' | '
+                              ORDER BY p.pos) AS rh,
+                   string_agg(CASE WHEN p.col_role = 'COL'
+                                   THEN coalesce(w.entity, p.part) END, ' | '
+                              ORDER BY p.pos) AS ch
+            FROM ar_parts p
+            LEFT JOIN cea w ON w.table_id = p.table_id AND w.col_role = p.col_role
+                 AND w.mention = p.part
+            GROUP BY 1, 2, 3
+        ),
+        annotated AS (
+            SELECT cn.table_id, cn.row_idx, cn.col_idx,
+                   coalesce(dw.entity, cn.data) AS data,
+                   coalesce(pk.rh, '') AS row_heading,
+                   coalesce(pk.ch, '') AS column_heading
+            FROM {canonical} cn
+            LEFT JOIN (SELECT table_id, mention, entity FROM cea
+                       WHERE col_role = 'DATA') dw
+                 ON dw.table_id = cn.table_id AND dw.mention = cn.data
+            LEFT JOIN ar_packed pk ON pk.table_id = cn.table_id
+                 AND pk.row_idx = cn.row_idx AND pk.col_idx = cn.col_idx
+        )
+    """
+
+
 # ---------------------------------------------------------------------------
 # public: the oracle dict
 # ---------------------------------------------------------------------------
@@ -417,5 +463,16 @@ def sti_oracle_queries(fx: str) -> dict[str, str]:
             {_cea_ctes(canon)},
             {_triples_ctes(canon)}
             SELECT subj, pred, obj FROM triples
+        """,
+        "q_annotate_rows": f"""
+            WITH {_fx_tables(fx, 'kg_labels', 'kg_types', 'kg_subclass', 'kg_triples')},
+            {sql_mentions(canon)},
+            {sql_candidates('kg_labels')},
+            {_cea_ctes(canon)},
+            {_annotate_rows_ctes(canon)}
+            SELECT table_id, CAST(row_idx AS BIGINT) AS row_idx,
+                   CAST(col_idx AS BIGINT) AS col_idx,
+                   data, row_heading, column_heading
+            FROM annotated
         """,
     }

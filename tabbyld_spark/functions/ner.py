@@ -58,24 +58,25 @@ def build_gazetteer(kg_labels: DataFrame, kg_types: DataFrame, kg_subclass: Data
         .join(F.broadcast(ner_top), "ner_top_class")
         .select("entity", "ner")
     )
-    return (
+    from tabbyld_spark.functions.joins import adaptive_broadcast
+
+    gaz = (
         kg_labels.join(ent_ner, "entity")
         .groupBy("surface_form")
         .agg(F.min("ner").alias("ner"))
     )
+    # size-gate against the BASE label scan's stats: the aggregate's own
+    # estimate is a multiplied non-credible number (functions/joins.py)
+    return adaptive_broadcast(gaz, proxy=kg_labels)
 
 
 def attach_ner(mentions: DataFrame, gazetteer: DataFrame) -> DataFrame:
     """Fill a ``ner`` column on (…, mention, mention_norm): literal regex
     first, then broadcast gazetteer lookup on the normalized form, else NONE."""
-    from tabbyld_spark.functions.joins import adaptive_broadcast
-
     m = mentions.withColumn("_lit", literal_ner("mention"))
     m = m.join(
-        adaptive_broadcast(
-            gazetteer.withColumnRenamed("surface_form", "mention_norm")
-            .withColumnRenamed("ner", "_gaz")
-        ),
+        gazetteer.withColumnRenamed("surface_form", "mention_norm")
+        .withColumnRenamed("ner", "_gaz"),
         "mention_norm",
         "left",
     )

@@ -56,7 +56,11 @@ def cea_top1(scored: DataFrame, literals: DataFrame | None = None) -> DataFrame:
 
     scored = ensure_keys(scored)
     cols = ["table_id", "col_role", "mention", "mention_norm", "entity", "agg_rank"]
-    w = Window.partitionBy("mention_key").orderBy(
+    # window keys: surrogate long FIRST (drives the hash partitioning) plus
+    # the original strings — a mention_key collision then still windows the
+    # two mentions separately instead of silently crowning one winner for
+    # both (same shuffle volume; the strings ride along anyway)
+    w = Window.partitionBy("mention_key", "table_id", "col_role", "mention").orderBy(
         F.desc("agg_rank"), F.asc("entity")
     )
     top = (

@@ -79,7 +79,11 @@ def cap_candidates(cands: DataFrame, cap: int = CANDIDATE_CAP) -> DataFrame:
     from tabbyld_spark.operators.features import ensure_keys
 
     cands = ensure_keys(cands)
-    w = Window.partitionBy("mention_key").orderBy(F.asc("lev"), F.asc("entity"))
+    # strings in the partition keys guard against surrogate-key collisions
+    # merging two mentions' candidate pools (see aggregate.cea_top1)
+    w = Window.partitionBy("mention_key", "table_id", "col_role", "mention").orderBy(
+        F.asc("lev"), F.asc("entity")
+    )
     return (
         cands.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= cap)
@@ -112,5 +116,11 @@ def generate_candidates(
             rest.drop("entity") if "entity" in rest.columns else rest, join_key
         )
         cands = cands.select(extra.columns).unionByName(extra)
-        cands = ensure_keys(cands).dropDuplicates(["mention_key", "ent_key"])
+        # dedup key includes the original strings: surrogate 64-bit keys are
+        # for partitioning, but a birthday collision at 10^12-row scale must
+        # not silently merge two distinct (mention, entity) pairs — the
+        # strings are already co-partitioned here, so the guard is free
+        cands = ensure_keys(cands).dropDuplicates(
+            ["mention_key", "ent_key", "table_id", "col_role", "mention", "entity"]
+        )
     return literals, cap_candidates(with_levenshtein(ensure_keys(cands)), cap)

@@ -11,7 +11,11 @@ projection keyed by surrogate 64-bit hashes and joins back on those keys:
 
   * mention_key = xxhash64(table_id, col_role, mention)  (candidate grain
     together with ent_key; globally unique w.h.p. — production at 10^12 docs
-    would widen to 128-bit, same plan shape)
+    would widen to 128-bit, same plan shape).  Identity-bearing operations
+    (candidate dedup, the cap/CEA/heading windows) additionally carry the
+    original strings in their keys — co-partitioned, so the guard costs
+    nothing — meaning a 64-bit collision can only mis-attribute one narrow
+    feature value, never merge two mentions/candidates into one.
   * ent_key     = xxhash64(entity)
   * context values compare by hash too (reference semantics is exact string
     equality — levenshtein == 0 — so hash equality is the same predicate)

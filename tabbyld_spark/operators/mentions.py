@@ -95,7 +95,7 @@ def heading_mentions(canonical: DataFrame, roles: tuple[str, ...] = (ROLE_ROW, R
     parts = parts.withColumn(
         "mention_key", F.xxhash64("table_id", "col_role", "mention")
     )
-    w = Window.partitionBy("mention_key").orderBy(
+    w = Window.partitionBy("mention_key", "table_id", "col_role", "mention").orderBy(
         F.desc("row_idx"), F.desc("col_idx")
     )
     out_cols = ["table_id", "col_role", "mention", "mention_norm", "mention_key"] + (

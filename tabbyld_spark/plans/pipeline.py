@@ -145,3 +145,35 @@ def pipeline_metrics(result: AnnotationResult) -> DataFrame:
     c = result.candidates.groupBy("table_id").agg(F.count(F.lit(1)).alias("n_candidates"))
     a = result.cea.groupBy("table_id").agg(F.count(F.lit(1)).alias("n_annotated"))
     return m.join(c, "table_id", "left").join(a, "table_id", "left").fillna(0)
+
+
+def persist_evaluation(
+    catalog,
+    result: AnnotationResult,
+    gold_cea: DataFrame,
+    gold_cta: DataFrame,
+    gold_cpa: DataFrame,
+    runtimes: dict[str, float] | None = None,
+) -> dict[str, str]:
+    """Commit accuracy/P/R/F1 metric rows at both reference grains
+    (per-table AnnotatedCanonicalTable and per-dataset AnnotatedDataset,
+    SpreadsheetController.php:702-742) as catalog snapshots, with stage wall
+    times in the commit lineage.  Returns the snapshot ids."""
+    from tabbyld_spark.operators.evaluate import dataset_metrics, evaluate_tables
+
+    runtimes = runtimes or {}
+    per_table = evaluate_tables(
+        result.cea, result.cta, result.cpa, gold_cea, gold_cta, gold_cpa
+    )
+    # one computation feeds both grains: the dataset rollup reads the
+    # committed per-table snapshot, not the live (recomputing) plan
+    t_snap = catalog.write(
+        per_table, "metrics_tables", lineage={"stage": "S8", "runtimes": runtimes}
+    )
+    committed = catalog.read(result.cea.sparkSession, "metrics_tables")
+    d_snap = catalog.write(
+        dataset_metrics(committed, runtime_sec=sum(runtimes.values()) or None),
+        "metrics_dataset",
+        lineage={"stage": "S8", "runtimes": runtimes},
+    )
+    return {"metrics_tables": t_snap, "metrics_dataset": d_snap}

@@ -40,6 +40,28 @@ def test_adaptive_broadcast_both_branches(spark):
     assert adaptive_broadcast(small, threshold_bytes=-1) is small
 
 
+def test_adaptive_broadcast_non_credible_estimate(spark):
+    """An aggregate-of-joins carries a multiplied, astronomically inflated
+    size estimate; the gate must treat it as unknown (keep the hint) or use
+    the credible proxy — never silently demote the tiny dim to a shuffle."""
+    from pyspark.sql import functions as F2
+
+    # spark.range carries credible stats; tuple-list createDataFrame is
+    # RDD-backed (sizeInBytes = Long.MaxValue, correctly deemed not credible)
+    base = spark.range(0, 100).select(
+        F2.col("id").alias("k"), F2.concat(F2.lit("s"), F2.col("id")).alias("s")
+    )
+    j = base.alias("a").join(base.alias("b"), "k").join(base.alias("c"), "k")
+    agg = j.groupBy("k").agg(F2.count(F2.lit(1)).alias("n"))
+    est = plan_size_estimate(agg)
+    if est > 1 << 50:  # the motivating condition (holds without CBO stats)
+        hinted = adaptive_broadcast(agg, threshold_bytes=10)
+        assert hinted is not agg  # kept the hint despite tiny threshold
+    # with a credible proxy the gate applies to the proxy's size
+    assert adaptive_broadcast(agg, threshold_bytes=1, proxy=base) is agg
+    assert adaptive_broadcast(agg, threshold_bytes=1 << 40, proxy=base) is not agg
+
+
 def test_heading_mentions_accepts_bare_role_string(spark):
     canonical = spark.createDataFrame(
         [("t", 0, 0, "v", "Alpha | Beta", "Col")],

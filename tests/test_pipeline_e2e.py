@@ -47,6 +47,36 @@ def test_metrics_rows(result):
     assert m.filter(F.col("n_mentions") <= 0).count() == 0
 
 
+def test_evaluation_metrics_persisted(spark, result, pages_fx, tmp_path):
+    """Reference parity: accuracy/P/R/F1 committed at table + dataset grain
+    with runtimes (SpreadsheetController.php:702-742)."""
+    from tabbyld_spark.operators.evaluate import evaluate_cea
+    from tabbyld_spark.plans.pipeline import persist_evaluation
+    from tabbyld_spark.sources.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    snaps = persist_evaluation(
+        cat,
+        result,
+        spark.createDataFrame(pages_fx.gold_cea),
+        spark.createDataFrame(pages_fx.gold_cta),
+        spark.createDataFrame(pages_fx.gold_cpa),
+        runtimes={"annotate": 12.5, "emit": 1.5},
+    )
+    t = cat.read(spark, "metrics_tables")
+    d = cat.read(spark, "metrics_dataset")
+    assert snaps["metrics_tables"].startswith("snap-")
+    assert {r["task"] for r in d.collect()} == {"CEA", "CTA", "CPA"}
+    assert t.filter(F.col("task") == "CEA").count() > 1  # per-table grain
+    # dataset-grain CEA micro-average equals the scalar evaluator's answer
+    m = evaluate_cea(result.cea, spark.createDataFrame(pages_fx.gold_cea))
+    (drow,) = d.filter(F.col("task") == "CEA").collect()
+    assert abs(drow["precision"] - m["precision"]) < 1e-12
+    assert abs(drow["recall"] - m["recall"]) < 1e-12
+    assert drow["runtime_sec"] == 14.0
+    assert cat.manifest("metrics_tables")["history"][-1]["lineage"]["runtimes"]["annotate"] == 12.5
+
+
 def test_pipeline_deterministic_under_repartition(spark, kg_spark, pages_fx):
     """Result invariant to input partitioning + shuffle width (catches
     nondeterministic top-1 ties the reference has)."""
