@@ -509,6 +509,25 @@ def q_media_meta(spark, sf_dir):
     )
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal feature extraction: decode the fake image payloads and emit
+    width/height/mean pixel/16-bin histogram.  The pixel body is
+    sha256(media_id be64) repeated — reproducible in SQL, so the whole
+    decode→feature path gets a DuckDB twin (histogram flattened to a CSV
+    string for engine-neutral comparison)."""
+    from tabbyld_spark.operators.multimodal import image_features, media_from_documents
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    feats = image_features(media_from_documents(d))
+    return feats.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.round("mean_px", 6).alias("mean_px"),
+        F.concat_ws(",", F.transform("histogram", lambda x: x.cast("string"))).alias("hist"),
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     out = brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5)
@@ -654,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_media_meta": q_media_meta,
         "q_media_frames": q_media_frames,
+        "q_media_features": q_media_features,
         "q_cosine_topk": q_cosine_topk,
         "q_closure": q_closure,
         "q_connected_components": q_connected_components,
@@ -961,6 +981,50 @@ def oracle_sql() -> dict[str, str]:
                           WHEN 1 THEN 8 + w * h
                           ELSE 16 + w * h * nf END AS n_bytes
             FROM g
+        """,
+        "q_media_features": """
+            WITH g AS (
+                SELECT CAST(doc_id AS BIGINT) AS media_id,
+                       CAST(doc_id % 37 + 8 AS INT) AS w,
+                       CAST(doc_id % 23 + 8 AS INT) AS h
+                FROM documents WHERE doc_id < 400 AND doc_id % 3 = 0
+            ),
+            d AS (
+                SELECT media_id, w, h,
+                       sha256(CAST(media_id AS VARCHAR)) AS hx
+                FROM g
+            ),
+            bytes AS (
+                SELECT media_id, w, h,
+                       (instr('0123456789abcdef',
+                              substring(hx, 2 * (r.j % 32) + 1, 1)) - 1) * 16
+                       + (instr('0123456789abcdef',
+                                substring(hx, 2 * (r.j % 32) + 2, 1)) - 1) AS v
+                FROM d, LATERAL unnest(range(0, w * h)) AS r(j)
+            ),
+            hist AS (
+                SELECT media_id, CAST(v // 16 AS INT) AS bin, count(*) AS c
+                FROM bytes GROUP BY 1, 2
+            ),
+            bin_list AS (
+                SELECT CAST(r.b AS INT) AS bin FROM unnest(range(0, 16)) AS r(b)
+            ),
+            bins AS (
+                SELECT a.media_id, a.bin, coalesce(h.c, 0) AS c
+                FROM (SELECT g.media_id, b.bin FROM g CROSS JOIN bin_list b) a
+                LEFT JOIN hist h ON h.media_id = a.media_id AND h.bin = a.bin
+            ),
+            packed AS (
+                SELECT media_id, string_agg(c, ',' ORDER BY bin) AS hist
+                FROM bins GROUP BY media_id
+            ),
+            means AS (
+                SELECT media_id, round(avg(v), 6) AS mean_px FROM bytes GROUP BY media_id
+            )
+            SELECT g.media_id, CAST(g.w AS BIGINT) AS width, CAST(g.h AS BIGINT) AS height,
+                   m.mean_px, p.hist
+            FROM g JOIN means m ON m.media_id = g.media_id
+            JOIN packed p ON p.media_id = g.media_id
         """,
         "q_media_frames": """
             WITH g AS (

@@ -82,10 +82,9 @@ def rdf_fragments(cea: DataFrame) -> DataFrame:
     return cea.select("table_id", frag.alias("fragment"))
 
 
-def render_rdf_xml(cea: DataFrame, table_name: str = "annotated") -> str:
-    """Assemble the full RDF/XML document (driver-side presentation step,
-    header per RDFCodeGenerator.php:132-141 made well-formed)."""
-    header = (
+def _rdf_header(table_name: str) -> str:
+    """Header per RDFCodeGenerator.php:132-141, made well-formed."""
+    return (
         '<?xml version="1.0"?>\n'
         "<rdf:RDF\n"
         f'\txmlns      = "http://example.org/{table_name}#"\n'
@@ -98,10 +97,59 @@ def render_rdf_xml(cea: DataFrame, table_name: str = "annotated") -> str:
         '\txmlns:rdfs = "http://www.w3.org/2000/01/rdf-schema#"\n'
         '\txmlns:xsd  = "http://www.w3.org/2001/XMLSchema#">\n\n'
     )
+
+
+def render_rdf_xml(cea: DataFrame, table_name: str = "annotated") -> str:
+    """Assemble the full RDF/XML document (driver-side presentation step —
+    fixture-sized output; the scale path is write_rdf_xml_partitioned)."""
+    header = _rdf_header(table_name)
     body = "\n".join(
         r["fragment"] for r in rdf_fragments(cea).orderBy("table_id", "fragment").collect()
     )
     return header + body + "\n</rdf:RDF>"
+
+
+def write_rdf_xml_partitioned(
+    cea: DataFrame, path: str, table_name: str = "annotated"
+) -> str:
+    """Scale path for P24 rendering: fragments written as globally-ordered
+    text part files (range partition + in-partition sort — executors do all
+    row formatting), with tiny header/footer files alongside.  No row ever
+    reaches the driver; :func:`assemble_rdf_xml` concatenates the parts
+    file-by-file (streaming I/O, constant memory) when a single document is
+    actually needed.  ``render_rdf_xml`` remains the driver-side convenience
+    for fixture-sized output."""
+    import os
+
+    frags = (
+        rdf_fragments(cea)
+        .repartitionByRange("table_id", "fragment")
+        .sortWithinPartitions("table_id", "fragment")
+    )
+    frags.select("fragment").write.mode("overwrite").text(os.path.join(path, "fragments"))
+    with open(os.path.join(path, "header.xml"), "w") as f:
+        f.write(_rdf_header(table_name))
+    with open(os.path.join(path, "footer.xml"), "w") as f:
+        f.write("</rdf:RDF>\n")
+    return path
+
+
+def assemble_rdf_xml(path: str, out_file: str) -> str:
+    """Driver-side file concat of a partitioned RDF/XML export — streams the
+    ordered part files; memory use is one line, not the dataset."""
+    import glob
+    import os
+
+    with open(out_file, "w") as out:
+        with open(os.path.join(path, "header.xml")) as f:
+            out.write(f.read())
+        for part in sorted(glob.glob(os.path.join(path, "fragments", "part-*"))):
+            with open(part) as f:
+                for line in f:
+                    out.write(line)
+        with open(os.path.join(path, "footer.xml")) as f:
+            out.write(f.read())
+    return out_file
 
 
 def owl_triples(

@@ -304,7 +304,10 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, k, w, h, nf in zip(pdf.media_id, pdf.k, pdf.w, pdf.h, pdf.nf):
-                seed = struct.pack(">q", mid)
+                # ASCII seed (not packed binary): the payload spec stays
+                # reproducible in engines whose sha256 takes strings only,
+                # so the decode→feature path can carry a SQL oracle
+                seed = str(int(mid)).encode()
                 if k == 0:
                     kind, payload = "image", encode_fake_image(w, h, seed)
                 elif k == 1:
