@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Physical-plan hygiene audit — asserts the plans are the ones we'd want at
+100x scale, not just ones that pass:
+
+  * parquet scans carry PushedFilters + pruned ReadSchema (no full-width scan
+    behind a 2-column projection)
+  * the KG dimension joins execute as BroadcastHashJoin (the size-gated hint
+    survived), fact-fact joins as SortMerge/ShuffledHash
+  * the only Python in any plan is Arrow-batched (ArrowEvalPython /
+    MapInPandas / FlatMapGroupsInPandas) — no row-at-a-time BatchEvalPython
+  * WholeStageCodegen spans cover the expression pipeline
+
+Prints one PASS/FAIL line per check + the evidence; exits non-zero on FAIL.
+Usage: python tools/plan_audit.py
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from tabbyld_spark.session import get_spark  # noqa: E402
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def check(name: str, ok: bool, evidence: str) -> bool:
+    print(f"{'PASS' if ok else 'FAIL'} {name}: {evidence}")
+    return ok
+
+
+def main() -> int:
+    import __spark_entry__ as E
+    from tabbyld_spark.fixtures.kg import build_kg
+    from tabbyld_spark.fixtures.pages import gen_pages_pd
+    from tabbyld_spark.plans.pipeline import annotate_canonical
+
+    spark = get_spark("plan-audit", cores=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.01"
+    ok = True
+
+    # 1. predicate pushdown + column pruning on the parquet scan
+    p = plan_of(E.q_filter_project(spark, sf))
+    ok &= check(
+        "pushdown/q_filter_project",
+        "PushedFilters: [" in p and "IsNotNull" in p.split("PushedFilters:")[1][:200],
+        "PushedFilters present",
+    )
+    read_schema = p.split("ReadSchema:")[1].split("\n")[0] if "ReadSchema:" in p else ""
+    ok &= check(
+        "pruning/q_filter_project",
+        "l_comment" not in read_schema and "l_orderkey" in read_schema,
+        f"ReadSchema={read_schema.strip()[:120]}",
+    )
+
+    # 2. dimension joins broadcast (at sf0.01 even orders/customer fit under
+    # the threshold, so we only require the nation/region dims broadcast —
+    # Catalyst promoting more is correct, not a failure)
+    p = plan_of(E.q_join_multi(spark, sf))
+    ok &= check(
+        "broadcast/q_join_multi",
+        p.count("BroadcastHashJoin") >= 2,
+        f"{p.count('BroadcastHashJoin')} broadcast joins",
+    )
+
+    # 3. candidate generation: gazetteer + surface-form dictionary broadcast
+    # (the size-gate kept the hint despite the aggregate's non-credible
+    # stats).  Audited on the PRE-checkpoint chain — a localCheckpoint'd
+    # frame's plan is just the checkpoint scan and would hide the joins.
+    from tabbyld_spark.functions.ner import attach_ner, build_gazetteer
+    from tabbyld_spark.operators.candidates import exact_candidates, with_levenshtein
+    from tabbyld_spark.operators.mentions import all_mentions
+
+    kg = build_kg(seed=42)
+    fx = gen_pages_pd(kg, n_pages=10, seed=42)
+    canonical = spark.createDataFrame(fx.canonical)
+    kgs = kg.to_spark(spark)
+    gaz = build_gazetteer(kgs["kg_labels"], kgs["kg_types"], kgs["kg_subclass"])
+    cands = with_levenshtein(
+        exact_candidates(attach_ner(all_mentions(canonical), gaz), kgs["kg_labels"])
+    )
+    p = plan_of(cands)
+    ok &= check(
+        "broadcast/candidate-dictionary",
+        p.count("BroadcastHashJoin") >= 2,
+        f"{p.count('BroadcastHashJoin')} broadcast joins (gazetteer + label dict)",
+    )
+    ok &= check(
+        "no-row-python/candidates",
+        "BatchEvalPython" not in p,
+        "no row-at-a-time Python UDF in the candidate plan",
+    )
+    # codegen spans print as "*(n) Operator" in the executed-plan string
+    ok &= check(
+        "codegen/candidates",
+        "*(" in p,
+        f"{sum(1 for ln in p.splitlines() if '*(' in ln)} operators inside codegen spans",
+    )
+    # end-to-end sanity on the same fixture (checkpointed result still runs)
+    res = annotate_canonical(canonical, kgs, provided_ner=True, fuzzy_enabled=False)
+    ok &= check("pipeline-runs", res.cea.count() > 0, "CEA non-empty")
+
+    # 4. the one pandas UDF path is Arrow-batched
+    from tabbyld_spark.extract.html import extract_pages
+
+    pages = spark.createDataFrame(fx.pages)
+    p = plan_of(extract_pages(pages))
+    arrow = ("ArrowEvalPython" in p) or ("MapInPandas" in p) or ("EvalPython" in p and "Batch" not in p)
+    ok &= check(
+        "arrow-only/extract",
+        arrow and "BatchEvalPython" not in p,
+        "extraction runs through the Arrow batch evaluator",
+    )
+
+    print("AUDIT", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
