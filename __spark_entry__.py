@@ -490,6 +490,35 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-3 terms by smoothed tf-idf (deterministic tiebreak)."""
+    from tabbyld_spark.operators.ranking import tf_idf
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    scored = tf_idf(d, max_df_ratio=0.9)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id", "term", F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round("tfidf", 6).alias("tfidf"), "rk",
+        )
+    )
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 top-20 docs for a fixed 3-term query over the documents corpus."""
+    from tabbyld_spark.operators.ranking import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    out = bm25_topk(d, ["hash", "join", "vector"], k=20)
+    return out.select("doc_id", F.round("score", 6).alias("score"), "rank")
+
+
 def q_media_meta(spark, sf_dir):
     """Multimodal: synthesize binary media payloads from documents, then
     decode typed metadata back out via the Arrow mapInPandas codec stub.
@@ -671,6 +700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality": q_quality,
         "q_langid": q_langid,
         "q_fingerprint": q_fingerprint,
+        "q_tfidf_top_terms": q_tfidf_top_terms,
+        "q_bm25": q_bm25,
         "q_media_meta": q_media_meta,
         "q_media_frames": q_media_frames,
         "q_media_features": q_media_features,
@@ -981,6 +1012,60 @@ def oracle_sql() -> dict[str, str]:
                           WHEN 1 THEN 8 + w * h
                           ELSE 16 + w * h * nf END AS n_bytes
             FROM g
+        """,
+        "q_tfidf_top_terms": f"""
+            WITH tc AS (
+                SELECT doc_id, lower(t) AS term, count(*) AS tf
+                FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS t
+                      FROM documents WHERE doc_id < 300)
+                WHERE t <> '' GROUP BY 1, 2
+            ),
+            nd AS (SELECT count(DISTINCT doc_id) AS n
+                   FROM documents WHERE doc_id < 300),
+            dfreq AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+            scored AS (
+                SELECT tc.doc_id, tc.term, tc.tf, d.df,
+                       tc.tf * (ln((nd.n + 1) / (d.df + 1.0)) + 1) AS tfidf
+                FROM tc JOIN dfreq d USING (term) CROSS JOIN nd
+                WHERE d.df <= nd.n * 0.9
+            )
+            SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf, rk FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, term ASC) AS rk
+                FROM scored
+            ) WHERE rk <= 3
+        """,
+        "q_bm25": f"""
+            WITH tc AS (
+                SELECT doc_id, lower(t) AS term, count(*) AS tf
+                FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents)
+                WHERE t <> '' GROUP BY 1, 2
+            ),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tc GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            q AS (SELECT unnest(['hash', 'join', 'vector']) AS term),
+            dfreq AS (
+                SELECT tc.term, count(*) AS df
+                FROM tc JOIN q USING (term) GROUP BY tc.term
+            ),
+            scored AS (
+                SELECT tc.doc_id,
+                       sum(
+                           ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+                           * tc.tf * (1.2 + 1)
+                           / (tc.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tc
+                JOIN dfreq d USING (term)
+                JOIN dl USING (doc_id)
+                CROSS JOIN stats s
+                GROUP BY tc.doc_id
+            )
+            SELECT doc_id, round(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 20
         """,
         "q_media_features": """
             WITH g AS (
