@@ -51,19 +51,15 @@ def ensure_keys(cands: DataFrame) -> DataFrame:
     return cands
 
 
-def ner_class_rank(cands: DataFrame, kg_types: DataFrame, kg_subclass: DataFrame) -> DataFrame:
-    """P10 (CanonicalTableAnnotator.php:424-457): the SPARQL property path
-    ``<e> rdf:type/rdfs:subClassOf* ?i . ?i rdfs:subClassOf* <NerClass>``
-    counts every class C with type(e) ⊑* C ⊑* NerClass (with multiplicity
-    over types); depth = count/2; rank = (int)(1/depth) — i.e. int(2/count).
-    """
-    cands = ensure_keys(cands)
+def _ner_paths(cands: DataFrame, kg_types: DataFrame, kg_subclass: DataFrame) -> DataFrame:
+    """P10 aggregate: (mention_key, ent_key, ner_rank) for candidates with a
+    type ⊑* NerClass path; absentees mean rank 0."""
     ner_map = cands.sparkSession.createDataFrame(
         [(label, cls) for label, cls in NER_CLASS.items()], ["ner", "ner_class"]
     )
     up = kg_subclass.select(F.col("child").alias("class"), F.col("parent").alias("mid"))
     up2 = kg_subclass.select(F.col("child").alias("mid"), F.col("parent").alias("ner_class"))
-    paths = (
+    return (
         cands.select(*_KEY, "entity", "ner")
         .join(F.broadcast(ner_map), "ner")
         .join(kg_types, "entity")
@@ -74,6 +70,29 @@ def ner_class_rank(cands: DataFrame, kg_types: DataFrame, kg_subclass: DataFrame
         .withColumn("ner_rank", F.floor(F.lit(2) / F.col("_n")).cast("double"))
         .select(*_KEY, "ner_rank")
     )
+
+
+def _heading_scored(cands: DataFrame, kg_types: DataFrame) -> DataFrame:
+    """P11 aggregate: (mention_key, ent_key, heading_rank) for candidates
+    with dbo classes AND heading labels; absentees mean rank 100."""
+    return (
+        cands.filter(F.size("heading_labels") > 0)
+        .select(*_KEY, "entity", F.explode("heading_labels").alias("hl"))
+        .join(kg_types.filter(F.col("class").startswith(DBO)), "entity")
+        .withColumn("_d", F.levenshtein(entity_localname("class"), F.col("hl")))
+        .groupBy(*_KEY)
+        .agg(F.least(F.min("_d"), F.lit(100)).cast("double").alias("heading_rank"))
+    )
+
+
+def ner_class_rank(cands: DataFrame, kg_types: DataFrame, kg_subclass: DataFrame) -> DataFrame:
+    """P10 (CanonicalTableAnnotator.php:424-457): the SPARQL property path
+    ``<e> rdf:type/rdfs:subClassOf* ?i . ?i rdfs:subClassOf* <NerClass>``
+    counts every class C with type(e) ⊑* C ⊑* NerClass (with multiplicity
+    over types); depth = count/2; rank = (int)(1/depth) — i.e. int(2/count).
+    """
+    cands = ensure_keys(cands)
+    paths = _ner_paths(cands, kg_types, kg_subclass)
     return cands.join(paths, _KEY, "left").fillna({"ner_rank": 0.0})
 
 
@@ -82,15 +101,26 @@ def heading_rank(cands: DataFrame, kg_types: DataFrame) -> DataFrame:
     dbo: class localname of the candidate and any (normalized) heading label
     of the mention's winning row; 100 when no classes/labels."""
     cands = ensure_keys(cands)
-    scored = (
-        cands.filter(F.size("heading_labels") > 0)
-        .select(*_KEY, "entity", F.explode("heading_labels").alias("hl"))
-        .join(kg_types.filter(F.col("class").startswith(DBO)), "entity")
-        .withColumn("_d", F.levenshtein(entity_localname("class"), F.col("hl")))
-        .groupBy(*_KEY)
-        .agg(F.least(F.min("_d"), F.lit(100)).cast("double").alias("heading_rank"))
-    )
+    scored = _heading_scored(cands, kg_types)
     return cands.join(scored, _KEY, "left").fillna({"heading_rank": 100.0})
+
+
+def base_feature_ranks(
+    cands: DataFrame, kg_types: DataFrame, kg_subclass: DataFrame
+) -> DataFrame:
+    """P10 + P11 with ONE wide-table join-back: the two narrow per-candidate
+    aggregates full-outer-join each other first (longs + a double), then the
+    wide candidates frame — with its strings and heading_labels arrays —
+    shuffles once instead of twice.  Identical output to composing
+    ner_class_rank ∘ heading_rank (both per-feature functions remain for the
+    oracle queries)."""
+    cands = ensure_keys(cands)
+    feats = _ner_paths(cands, kg_types, kg_subclass).join(
+        _heading_scored(cands, kg_types), _KEY, "full_outer"
+    )
+    return cands.join(feats, _KEY, "left").fillna(
+        {"ner_rank": 0.0, "heading_rank": 100.0}
+    )
 
 
 def entity_context(cands: DataFrame, kg_triples: DataFrame, hashed: bool = True) -> DataFrame:
@@ -234,21 +264,40 @@ def semantic_similarity(cands: DataFrame, pclasses: DataFrame, salt: int = 1) ->
     else:
         pairs = a.join(b, "table_key")
     pairs = pairs.filter(F.col("a_m") != F.col("b_m"))
-    dist = pairs.withColumn("_d", F.levenshtein("a_c", "b_c"))
-    # min distance of a_c to ANY of b's classes, per (a-candidate, b-candidate)
-    per_ac = dist.groupBy("a_m", "a_e", "b_m", "b_e", "a_c").agg(
+    # one explicit exchange on table_key alone: when the pair join broadcasts
+    # (small side under threshold) its output carries no useful partitioning,
+    # and a groupBy would shuffle on its full key set — after which each
+    # narrower downstream key set would shuffle AGAIN.  hash(table_key) is a
+    # subset of every aggregation/window key below, so this single exchange
+    # satisfies all of them.
+    dist = pairs.repartition("table_key").withColumn(
+        "_d", F.levenshtein("a_c", "b_c")
+    )
+    # Exchange-count discipline: table_key rides as the LEADING key of every
+    # aggregation/window below.  It is functionally determined by a_m (the
+    # mention hash encodes the table), so results are unchanged — but because
+    # each groupBy/window then clusters on a superset of {table_key}, the one
+    # hash(table_key) partitioning the pair join already produced satisfies
+    # ALL of them and Catalyst inserts no further exchanges (5 shuffles → 1;
+    # a window-partition key that is a strict subset of the incoming hash
+    # keys would NOT be satisfied and would re-shuffle).  In the salted
+    # branch the join partitioning is (table_key, _salt), so one exchange
+    # back to table_key happens and the rest still fuse.
+    per_ac = dist.groupBy("table_key", "a_m", "a_e", "b_m", "b_e", "a_c").agg(
         F.min("_d").alias("_md")
     )
-    sel_w = Window.partitionBy("a_m", "a_e", "b_m", "b_e").orderBy(
+    sel_w = Window.partitionBy("table_key", "a_m", "a_e", "b_m", "b_e").orderBy(
         F.asc("_md"), F.asc("a_c")
     )
     selected = per_ac.withColumn("_rn", F.row_number().over(sel_w)).filter(
         F.col("_rn") == 1
     )
-    votes = selected.groupBy("a_m", "a_e", "a_c").agg(F.count(F.lit(1)).alias("v"))
-    top = votes.groupBy("a_m", "a_e").agg(F.max("v").alias("top_v"))
+    votes = selected.groupBy("table_key", "a_m", "a_e", "a_c").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    top = votes.groupBy("table_key", "a_m", "a_e").agg(F.max("v").alias("top_v"))
     # coefficient bracket per mention from the max vote among its candidates
-    coeff = top.groupBy("a_m").agg(F.max("top_v").alias("max_v"))
+    coeff = top.groupBy("table_key", "a_m").agg(F.max("top_v").alias("max_v"))
     # brackets 10/100/1000/10000 exactly as :586-593; max_v ≥ 10000 leaves the
     # coefficient 0 in the reference → rank 0 (quirk preserved)
     coeff = coeff.withColumn(
@@ -259,7 +308,7 @@ def semantic_similarity(cands: DataFrame, pclasses: DataFrame, salt: int = 1) ->
         ).otherwise(F.lit(0.0)),
     )
     ranked = (
-        top.join(coeff, "a_m")
+        top.join(coeff, ["table_key", "a_m"])
         .withColumn(
             "sem_rank",
             F.when(F.col("coef") != 0, F.col("top_v") / F.col("coef")).otherwise(F.lit(0.0)),

@@ -133,64 +133,63 @@ def entry_context(canonical: DataFrame, hashed: bool = True) -> DataFrame:
     matches if it shares a non-empty row_heading OR column_heading with a row
     holding the mention; each matching row contributes once per holder row.
     """
-    # OR-join via inclusion-exclusion over PRE-AGGREGATED row counts instead
-    # of materializing row pairs and deduping on a wide key: the number of
-    # (holder row, context row) pairs sharing heading h is the product of the
-    # two rows-per-value counts at h, so
+    # OR-join via inclusion-exclusion over per-heading value-count arrays
+    # instead of materializing row pairs and deduping on a wide key: the
+    # number of (holder row, context row) pairs sharing heading h is the
+    # product of the two rows-per-value counts at h, so
     #   n = Σ_rh cnt_l·cnt_r + Σ_ch cnt_l·cnt_r − Σ_(rh,ch) cnt_l·cnt_r
     # (the last term removes pairs matching on both headings, which the
-    # reference's single `if` counts once).  Each join moves one aggregated
-    # row per (table, value, heading) — map-side combine applies and the
-    # shuffle no longer scales with rows², only with distinct values.
+    # reference's single `if` counts once).
+    #
+    # Plan shape: ONE groupBy per heading key set collects the group's DATA
+    # values; per-value counts come from in-expression array ops (group size
+    # is bounded by rows-per-table, so the k² expression is cheap); the pair
+    # expansion is a double explode — no join — and the three signed streams
+    # meet in a single final aggregate.  4 exchanges total, versus ~15 for
+    # the equivalent aggregate+join formulation (measured 5.4s → see bench),
+    # and the shuffle still scales with distinct values, never rows².
     rows = canonical.select(
         "table_id", F.col("data"), F.col("row_heading"), F.col("column_heading")
     )
 
-    def _counts(*keys: str) -> DataFrame:
-        out = rows
+    def _pair_contribs(keys: tuple[str, ...], sign: int) -> DataFrame:
+        src = rows
         for k in keys:
-            out = out.filter(F.col(k) != "")
-        return out.groupBy("table_id", "data", *keys).agg(
-            F.count(F.lit(1)).alias("cnt")
+            src = src.filter(F.col(k) != "")
+        grouped = src.groupBy("table_id", *keys).agg(
+            F.collect_list("data").alias("arr")
         )
-
-    def _pairs(*keys: str) -> DataFrame:
-        l = _counts(*keys).select(
-            "table_id",
-            F.col("data").alias("mention"),
-            *keys,
-            F.col("cnt").alias("cnt_l"),
-        )
-        r = _counts(*keys).select(
-            "table_id",
-            F.col("data").alias("ctx_value"),
-            *keys,
-            F.col("cnt").alias("cnt_r"),
+        # distinct values with multiplicities, computed inside the row
+        vs = F.transform(
+            F.array_distinct("arr"),
+            lambda x: F.struct(
+                x.alias("v"),
+                F.size(F.filter(F.col("arr"), lambda y: y == x)).alias("c"),
+            ),
         )
         return (
-            l.join(r, ["table_id", *keys])
-            .groupBy("table_id", "mention", "ctx_value")
-            .agg(F.sum(F.col("cnt_l") * F.col("cnt_r")).alias("n"))
+            grouped.select("table_id", vs.alias("vs"))
+            .select("table_id", F.explode("vs").alias("l"), "vs")
+            .select(
+                "table_id",
+                F.col("l.v").alias("mention"),
+                (F.lit(sign) * F.col("l.c")).alias("cl"),
+                F.explode("vs").alias("r"),
+            )
+            .select(
+                "table_id",
+                "mention",
+                F.col("r.v").alias("ctx_value"),
+                (F.col("cl") * F.col("r.c")).alias("contrib"),
+            )
         )
 
-    on_rh = _pairs("row_heading")
-    on_ch = _pairs("column_heading")
-    on_both = _pairs("row_heading", "column_heading").withColumnRenamed("n", "n_both")
     full = (
-        on_rh.withColumnRenamed("n", "n_rh")
-        .join(
-            on_ch.withColumnRenamed("n", "n_ch"),
-            ["table_id", "mention", "ctx_value"],
-            "full_outer",
-        )
-        .join(on_both, ["table_id", "mention", "ctx_value"], "left")
-        .fillna({"n_rh": 0, "n_ch": 0, "n_both": 0})
-        .select(
-            "table_id",
-            "mention",
-            "ctx_value",
-            (F.col("n_rh") + F.col("n_ch") - F.col("n_both")).alias("n"),
-        )
+        _pair_contribs(("row_heading",), 1)
+        .unionByName(_pair_contribs(("column_heading",), 1))
+        .unionByName(_pair_contribs(("row_heading", "column_heading"), -1))
+        .groupBy("table_id", "mention", "ctx_value")
+        .agg(F.sum("contrib").alias("n"))
         .filter(F.col("n") > 0)
     )
     if not hashed:

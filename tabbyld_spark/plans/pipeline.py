@@ -72,8 +72,8 @@ def annotate_canonical(
 
         fuzzy = lsh_fuzzy_candidates(mentions, kg["kg_labels"])
     literals, cands = generate_candidates(mentions, kg["kg_labels"], fuzzy=fuzzy)
-    cands = FT.ner_class_rank(cands, kg["kg_types"], kg["kg_subclass"])
-    cands = FT.heading_rank(cands, kg["kg_types"])
+    # P10+P11 fused: one wide-table join-back instead of two (features.py)
+    cands = FT.base_feature_ranks(cands, kg["kg_types"], kg["kg_subclass"])
     cands = cands.localCheckpoint()
 
     ectx = entry_context(canonical)
