@@ -40,6 +40,17 @@ from tabbyld_spark.functions.normalize import entity_localname
 _KEY = ["mention_key", "ent_key"]
 
 
+def _join_back(cands: DataFrame, feats: DataFrame, fill: dict) -> DataFrame:
+    """Left-join a per-candidate feature frame onto the wide candidates.
+    The feature side is merge-hinted: it scales WITH the candidate count
+    (unbounded), so broadcasting it is categorically wrong at scale — and
+    Catalyst's size estimate for these derived aggregates is unreliable in
+    both directions (measured: a borderline under-estimate OOM'd an 8g
+    driver at 160k pages; an over-estimate silently demoted a 20 KB dim).
+    Sort-merge on the surrogate longs is the shape that survives 100x."""
+    return cands.join(feats.hint("merge"), _KEY, "left").fillna(fill)
+
+
 def ensure_keys(cands: DataFrame) -> DataFrame:
     """Attach surrogate join keys if absent (idempotent; pure column exprs)."""
     if "mention_key" not in cands.columns:
@@ -93,7 +104,7 @@ def ner_class_rank(cands: DataFrame, kg_types: DataFrame, kg_subclass: DataFrame
     """
     cands = ensure_keys(cands)
     paths = _ner_paths(cands, kg_types, kg_subclass)
-    return cands.join(paths, _KEY, "left").fillna({"ner_rank": 0.0})
+    return _join_back(cands, paths, {"ner_rank": 0.0})
 
 
 def heading_rank(cands: DataFrame, kg_types: DataFrame) -> DataFrame:
@@ -102,7 +113,7 @@ def heading_rank(cands: DataFrame, kg_types: DataFrame) -> DataFrame:
     of the mention's winning row; 100 when no classes/labels."""
     cands = ensure_keys(cands)
     scored = _heading_scored(cands, kg_types)
-    return cands.join(scored, _KEY, "left").fillna({"heading_rank": 100.0})
+    return _join_back(cands, scored, {"heading_rank": 100.0})
 
 
 def base_feature_ranks(
@@ -118,9 +129,7 @@ def base_feature_ranks(
     feats = _ner_paths(cands, kg_types, kg_subclass).join(
         _heading_scored(cands, kg_types), _KEY, "full_outer"
     )
-    return cands.join(feats, _KEY, "left").fillna(
-        {"ner_rank": 0.0, "heading_rank": 100.0}
-    )
+    return _join_back(cands, feats, {"ner_rank": 0.0, "heading_rank": 100.0})
 
 
 def entity_context(cands: DataFrame, kg_triples: DataFrame, hashed: bool = True) -> DataFrame:
@@ -192,7 +201,7 @@ def context_similarity(
         .groupBy(*_KEY)
         .agg(F.sum(F.col("n") * F.col("m")).cast("double").alias("ctx_rank"))
     )
-    return cands.join(overlap, _KEY, "left").fillna({"ctx_rank": 0.0})
+    return _join_back(cands, overlap, {"ctx_rank": 0.0})
 
 
 def parent_classes(cands: DataFrame, kg_triples: DataFrame, hashed: bool = True) -> DataFrame:
@@ -308,7 +317,7 @@ def semantic_similarity(cands: DataFrame, pclasses: DataFrame, salt: int = 1) ->
         ).otherwise(F.lit(0.0)),
     )
     ranked = (
-        top.join(coeff, ["table_key", "a_m"])
+        top.join(coeff.hint("merge"), ["table_key", "a_m"])
         .withColumn(
             "sem_rank",
             F.when(F.col("coef") != 0, F.col("top_v") / F.col("coef")).otherwise(F.lit(0.0)),
@@ -319,7 +328,7 @@ def semantic_similarity(cands: DataFrame, pclasses: DataFrame, salt: int = 1) ->
             "sem_rank",
         )
     )
-    return cands.join(ranked, _KEY, "left").fillna({"sem_rank": 0.0})
+    return _join_back(cands, ranked, {"sem_rank": 0.0})
 
 
 def relationship_rank(cands: DataFrame, kg_triples: DataFrame) -> DataFrame:
@@ -349,4 +358,4 @@ def relationship_rank(cands: DataFrame, kg_triples: DataFrame) -> DataFrame:
         .groupBy(*_KEY)
         .agg(F.count(F.lit(1)).cast("double").alias("rel_rank"))
     )
-    return cands.join(hits, _KEY, "left").fillna({"rel_rank": 0.0})
+    return _join_back(cands, hits, {"rel_rank": 0.0})

@@ -52,7 +52,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 16 MB: ~8x the largest real KG dimension (labels/types/subclass all
+        # broadcast comfortably) while giving an 8x safety margin against
+        # Catalyst mis-estimating a DERIVED frame as broadcastable — at 64 MB
+        # a borderline under-estimate built a >heap broadcast at 160k pages
+        # and killed the driver; unbounded feature frames are additionally
+        # merge-hinted at the join sites (operators/features.py)
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
         # deliberately MODEST heap (executor-realistic ~1 GiB/core): G1 with
         # a 20g heap grows a multi-GB young gen whose allocation span is
         # cache/TLB-hostile — measured 2.4x SLOWER (300s vs 127s, local[8],
