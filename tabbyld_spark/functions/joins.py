@@ -15,6 +15,8 @@ only below the session broadcast threshold.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -53,6 +55,7 @@ def adaptive_broadcast(
     df: DataFrame,
     threshold_bytes: int | None = None,
     proxy: DataFrame | None = None,
+    assume_small: bool = False,
 ) -> DataFrame:
     """Return ``broadcast(df)`` when the plan-size estimate fits under the
     (session) broadcast threshold, else ``df`` unchanged so the join planner
@@ -62,9 +65,10 @@ def adaptive_broadcast(
     ``proxy``: frame whose (credible) stats bound ``df``'s size — use the
     base dimension scan when ``df`` is an aggregate/join derivation of it,
     since derived plans carry multiplied, non-credible estimates.  When no
-    credible estimate exists at all, the hint is KEPT: a genuinely
-    planet-sized dictionary arrives via a storage scan whose footer stats are
-    credible, so the un-gated case is precisely the small in-memory dim."""
+    credible estimate exists at all the gate FAILS CLOSED (un-hinted frame →
+    shuffle join): force-broadcasting an unknown-size frame is exactly the
+    driver-OOM this helper exists to prevent.  ``assume_small=True`` restores
+    the old fail-open behavior for callers that can vouch for the frame."""
     if threshold_bytes is None:
         conf = df.sparkSession.conf.get(
             "spark.sql.autoBroadcastJoinThreshold", "10485760"
@@ -84,5 +88,38 @@ def adaptive_broadcast(
             est = cand
             break
     if est is None:
-        return F.broadcast(df)
+        return F.broadcast(df) if assume_small else df
     return F.broadcast(df) if est <= threshold_bytes else df
+
+
+# Conservative broadcast-build bytes per narrow feature row (two 64-bit keys
+# + one or two doubles, plus HashedRelation row/pointer overhead).  Chosen
+# high: over-estimating only demotes a borderline broadcast to sort-merge.
+ROW_BYTES_NARROW = 64
+
+_DEFAULT_COUNT_CAP = str(64 * 1024 * 1024)  # 64 MB est ⇒ ~1M narrow rows
+
+
+def count_gated_hint(
+    df: DataFrame,
+    n_rows: int | None,
+    row_bytes: int = ROW_BYTES_NARROW,
+    cap_bytes: int | None = None,
+) -> DataFrame:
+    """Broadcast-vs-merge decision from an EXACT row count (not a plan
+    estimate): callers that already materialized an upstream stage know the
+    row count of a derived frame precisely, which is strictly better
+    information than Catalyst's multiplied estimates.  Because the count is
+    exact, the cap can sit well above the session broadcast threshold (env
+    ``SPARK_GRAFT_JOINBACK_BROADCAST_MAX``, default 64 MB estimated build
+    size) without the mis-estimate OOM risk the session threshold guards
+    against.  Unknown count ⇒ fail closed to sort-merge: the un-hinted
+    planner would consult exactly the non-credible estimates this helper
+    bypasses."""
+    if cap_bytes is None:
+        cap_bytes = parse_byte_conf(
+            os.environ.get("SPARK_GRAFT_JOINBACK_BROADCAST_MAX", _DEFAULT_COUNT_CAP)
+        )
+    if n_rows is not None and n_rows * row_bytes <= cap_bytes:
+        return F.broadcast(df)
+    return df.hint("merge")

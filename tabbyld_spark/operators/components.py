@@ -18,8 +18,12 @@ round (iterative-loop requirement).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from tabbyld_spark.functions.joins import parse_byte_conf
 
 
 def connected_components(
@@ -33,33 +37,70 @@ def connected_components(
     ``salt`` ways and each edge picks one replica by a hash of its OTHER
     endpoint, so a celebrity node's million edges spread over ``salt``
     reducers instead of one.  salt=1 keeps the plain equi-join (fixture
-    scale); the result is identical for any salt."""
+    scale); the result is identical for any salt.
+
+    Exchange discipline in the loop: the edge set is the BIG, loop-invariant
+    side, so it is hash-partitioned by its join key ONCE before the loop (the
+    partitioning survives the checkpoint) — each iteration then shuffles only
+    the label side.  When the graph is small enough (exact node count, known
+    after the first materialization) the label side broadcasts instead and
+    the propagation join runs with no per-iteration shuffle at all."""
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    sym = sym.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    sym = sym.filter(F.col("src") != F.col("dst")).distinct()
+    # _salt is a pure function of src — loop-invariant, so it rides in the
+    # pre-loop partitioning instead of being recomputed per iteration
+    join_key = ["dst"]
+    if salt > 1:
+        sym = sym.withColumn("_salt", F.pmod(F.xxhash64("src"), F.lit(salt)))
+        join_key = ["dst", "_salt"]
+    sym = sym.localCheckpoint()
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    # broadcast-vs-shuffle decision for the label side: the checkpoint
+    # propagates plan stats, so the driver-only estimate usually suffices
+    # (no job); a non-credible estimate falls back to one exact count
+    from tabbyld_spark.functions.joins import _CREDIBLE_MAX, plan_size_estimate
+
+    cap = parse_byte_conf(
+        os.environ.get("SPARK_GRAFT_JOINBACK_BROADCAST_MAX", "64m")
+    )
+    try:
+        est = plan_size_estimate(labels)
+    except Exception:
+        est = -1
+    if not (0 <= est <= _CREDIBLE_MAX):
+        # strings in both columns: budget generously per row
+        est = labels.count() * 256
+    big_graph = est * salt > cap
+    if big_graph:
+        # big-graph path: the label side will shuffle every round, so pay ONE
+        # up-front exchange to co-partition the loop-invariant edge side on
+        # the join key (survives the checkpoint) — iterations then shuffle
+        # labels only, never the edges.  Skipped on the small-graph path,
+        # where Catalyst already broadcast-joins the label side from the
+        # checkpoint-propagated stats and the exchange is pure cost (a
+        # per-iteration forced-broadcast hint was also measured SLOWER there:
+        # each hint rebuilds the broadcast through the driver, ~0.2s/round).
+        sym = sym.repartition(*join_key).localCheckpoint()
     for _ in range(max_iters):
         # propagate: each node adopts min(label of self, labels of neighbours)
         if salt > 1:
             lab_rep = labels.withColumnRenamed("node", "dst").withColumn(
                 "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
             )
-            sym_s = sym.withColumn("_salt", F.pmod(F.xxhash64("src"), F.lit(salt)))
-            nbr = (
-                sym_s.join(lab_rep, ["dst", "_salt"])
-                .select(F.col("src").alias("node"), "component")
-            )
         else:
-            nbr = (
-                sym.join(labels.withColumnRenamed("node", "dst"), "dst")
-                .select(F.col("src").alias("node"), "component")
-            )
+            lab_rep = labels.withColumnRenamed("node", "dst")
+        if big_graph:
+            lab_rep = lab_rep.hint("merge")
+        nbr = sym.join(lab_rep, join_key).select(
+            F.col("src").alias("node"), "component"
+        )
         new_labels = (
             labels.unionByName(nbr)
             .groupBy("node")

@@ -40,15 +40,25 @@ from tabbyld_spark.functions.normalize import entity_localname
 _KEY = ["mention_key", "ent_key"]
 
 
-def _join_back(cands: DataFrame, feats: DataFrame, fill: dict) -> DataFrame:
+def _join_back(
+    cands: DataFrame, feats: DataFrame, fill: dict, feat_rows: int | None = None
+) -> DataFrame:
     """Left-join a per-candidate feature frame onto the wide candidates.
-    The feature side is merge-hinted: it scales WITH the candidate count
-    (unbounded), so broadcasting it is categorically wrong at scale — and
-    Catalyst's size estimate for these derived aggregates is unreliable in
-    both directions (measured: a borderline under-estimate OOM'd an 8g
-    driver at 160k pages; an over-estimate silently demoted a 20 KB dim).
-    Sort-merge on the surrogate longs is the shape that survives 100x."""
-    return cands.join(feats.hint("merge"), _KEY, "left").fillna(fill)
+
+    The feature side scales WITH the candidate count (unbounded), so a
+    blanket broadcast is categorically wrong at scale — and Catalyst's size
+    estimate for these derived aggregates is unreliable in both directions
+    (measured: a borderline under-estimate OOM'd an 8g driver at 160k pages;
+    an over-estimate silently demoted a 20 KB frame, costing 45% pipeline
+    wall time).  The pipeline therefore passes ``feat_rows`` — the EXACT
+    candidate count from the checkpointed candidates stage, an upper bound on
+    every per-candidate feature aggregate — and the join side is chosen from
+    that count: broadcast while the estimated build fits (small/medium runs),
+    sort-merge on the surrogate longs beyond (the shape that survives 100x).
+    Unknown count ⇒ sort-merge (fail closed)."""
+    from tabbyld_spark.functions.joins import count_gated_hint
+
+    return cands.join(count_gated_hint(feats, feat_rows), _KEY, "left").fillna(fill)
 
 
 def ensure_keys(cands: DataFrame) -> DataFrame:
@@ -96,7 +106,12 @@ def _heading_scored(cands: DataFrame, kg_types: DataFrame) -> DataFrame:
     )
 
 
-def ner_class_rank(cands: DataFrame, kg_types: DataFrame, kg_subclass: DataFrame) -> DataFrame:
+def ner_class_rank(
+    cands: DataFrame,
+    kg_types: DataFrame,
+    kg_subclass: DataFrame,
+    feat_rows: int | None = None,
+) -> DataFrame:
     """P10 (CanonicalTableAnnotator.php:424-457): the SPARQL property path
     ``<e> rdf:type/rdfs:subClassOf* ?i . ?i rdfs:subClassOf* <NerClass>``
     counts every class C with type(e) ⊑* C ⊑* NerClass (with multiplicity
@@ -104,20 +119,25 @@ def ner_class_rank(cands: DataFrame, kg_types: DataFrame, kg_subclass: DataFrame
     """
     cands = ensure_keys(cands)
     paths = _ner_paths(cands, kg_types, kg_subclass)
-    return _join_back(cands, paths, {"ner_rank": 0.0})
+    return _join_back(cands, paths, {"ner_rank": 0.0}, feat_rows)
 
 
-def heading_rank(cands: DataFrame, kg_types: DataFrame) -> DataFrame:
+def heading_rank(
+    cands: DataFrame, kg_types: DataFrame, feat_rows: int | None = None
+) -> DataFrame:
     """P11 (CanonicalTableAnnotator.php:466-505): min Levenshtein between any
     dbo: class localname of the candidate and any (normalized) heading label
     of the mention's winning row; 100 when no classes/labels."""
     cands = ensure_keys(cands)
     scored = _heading_scored(cands, kg_types)
-    return _join_back(cands, scored, {"heading_rank": 100.0})
+    return _join_back(cands, scored, {"heading_rank": 100.0}, feat_rows)
 
 
 def base_feature_ranks(
-    cands: DataFrame, kg_types: DataFrame, kg_subclass: DataFrame
+    cands: DataFrame,
+    kg_types: DataFrame,
+    kg_subclass: DataFrame,
+    feat_rows: int | None = None,
 ) -> DataFrame:
     """P10 + P11 with ONE wide-table join-back: the two narrow per-candidate
     aggregates full-outer-join each other first (longs + a double), then the
@@ -129,7 +149,7 @@ def base_feature_ranks(
     feats = _ner_paths(cands, kg_types, kg_subclass).join(
         _heading_scored(cands, kg_types), _KEY, "full_outer"
     )
-    return _join_back(cands, feats, {"ner_rank": 0.0, "heading_rank": 100.0})
+    return _join_back(cands, feats, {"ner_rank": 0.0, "heading_rank": 100.0}, feat_rows)
 
 
 def entity_context(cands: DataFrame, kg_triples: DataFrame, hashed: bool = True) -> DataFrame:
@@ -168,7 +188,10 @@ def entity_context(cands: DataFrame, kg_triples: DataFrame, hashed: bool = True)
 
 
 def context_similarity(
-    cands: DataFrame, entry_ctx: DataFrame, ent_ctx: DataFrame
+    cands: DataFrame,
+    entry_ctx: DataFrame,
+    ent_ctx: DataFrame,
+    feat_rows: int | None = None,
 ) -> DataFrame:
     """P14 (CanonicalTableAnnotator.php:733-812): count of exact string
     matches (levenshtein == 0 ⇒ equality) between the mention's entry context
@@ -201,7 +224,7 @@ def context_similarity(
         .groupBy(*_KEY)
         .agg(F.sum(F.col("n") * F.col("m")).cast("double").alias("ctx_rank"))
     )
-    return _join_back(cands, overlap, {"ctx_rank": 0.0})
+    return _join_back(cands, overlap, {"ctx_rank": 0.0}, feat_rows)
 
 
 def parent_classes(cands: DataFrame, kg_triples: DataFrame, hashed: bool = True) -> DataFrame:
@@ -221,7 +244,12 @@ def parent_classes(cands: DataFrame, kg_triples: DataFrame, hashed: bool = True)
     )
 
 
-def semantic_similarity(cands: DataFrame, pclasses: DataFrame, salt: int = 1) -> DataFrame:
+def semantic_similarity(
+    cands: DataFrame,
+    pclasses: DataFrame,
+    salt: int = 1,
+    feat_rows: int | None = None,
+) -> DataFrame:
     """P16 (CanonicalTableAnnotator.php:513-623): cross-cell candidate class
     voting within each table.
 
@@ -316,8 +344,11 @@ def semantic_similarity(cands: DataFrame, pclasses: DataFrame, salt: int = 1) ->
             F.pow(F.lit(10.0), F.ceil(F.log10(F.col("max_v") + 0.5))),
         ).otherwise(F.lit(0.0)),
     )
+    from tabbyld_spark.functions.joins import count_gated_hint
+
+    # coeff is at (table, mention) grain — bounded by feat_rows too
     ranked = (
-        top.join(coeff.hint("merge"), ["table_key", "a_m"])
+        top.join(count_gated_hint(coeff, feat_rows), ["table_key", "a_m"])
         .withColumn(
             "sem_rank",
             F.when(F.col("coef") != 0, F.col("top_v") / F.col("coef")).otherwise(F.lit(0.0)),
@@ -328,10 +359,12 @@ def semantic_similarity(cands: DataFrame, pclasses: DataFrame, salt: int = 1) ->
             "sem_rank",
         )
     )
-    return _join_back(cands, ranked, {"sem_rank": 0.0})
+    return _join_back(cands, ranked, {"sem_rank": 0.0}, feat_rows)
 
 
-def relationship_rank(cands: DataFrame, kg_triples: DataFrame) -> DataFrame:
+def relationship_rank(
+    cands: DataFrame, kg_triples: DataFrame, feat_rows: int | None = None
+) -> DataFrame:
     """P17 (CanonicalTableAnnotator.php:245-372): count of KG triples
     ``<candA> ?p <candB>`` where candB belongs to a different mention of the
     same table.  Disabled (weight ≡ 1) in the reference's final aggregation
@@ -358,4 +391,4 @@ def relationship_rank(cands: DataFrame, kg_triples: DataFrame) -> DataFrame:
         .groupBy(*_KEY)
         .agg(F.count(F.lit(1)).cast("double").alias("rel_rank"))
     )
-    return _join_back(cands, hits, {"rel_rank": 0.0})
+    return _join_back(cands, hits, {"rel_rank": 0.0}, feat_rows)

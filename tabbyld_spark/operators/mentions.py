@@ -22,6 +22,8 @@ O(rows²) loops.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -123,7 +125,11 @@ def all_mentions(canonical: DataFrame, provided_ner: bool = False) -> DataFrame:
     return d.unionByName(h.select(*d.columns))
 
 
-def entry_context(canonical: DataFrame, hashed: bool = True) -> DataFrame:
+def entry_context(
+    canonical: DataFrame,
+    hashed: bool = True,
+    max_group_values: int | None = None,
+) -> DataFrame:
     """P12: (ctx_key, vhash, n) — multiset of neighbouring DATA values per
     DATA mention, aggregated to counts (n) so the downstream similarity join
     moves counts, not rows.  ``hashed=False`` keeps the raw
@@ -132,7 +138,16 @@ def entry_context(canonical: DataFrame, hashed: bool = True) -> DataFrame:
     Reference getEntryContext (CanonicalTableAnnotator.php:632-681): a row
     matches if it shares a non-empty row_heading OR column_heading with a row
     holding the mention; each matching row contributes once per holder row.
+
+    ``max_group_values``: per-(table, heading) distinct-value cap for the
+    in-expression pair expansion (default env SPARK_GRAFT_ENTRYCTX_GROUP_CAP,
+    else 65536).  Groups above the cap route through an equivalent self-join
+    — identical output, no single-executor array.
     """
+    if max_group_values is None:
+        max_group_values = int(
+            os.environ.get("SPARK_GRAFT_ENTRYCTX_GROUP_CAP", "65536")
+        )
     # OR-join via inclusion-exclusion over per-heading value-count arrays
     # instead of materializing row pairs and deduping on a wide key: the
     # number of (holder row, context row) pairs sharing heading h is the
@@ -141,13 +156,16 @@ def entry_context(canonical: DataFrame, hashed: bool = True) -> DataFrame:
     # (the last term removes pairs matching on both headings, which the
     # reference's single `if` counts once).
     #
-    # Plan shape: ONE groupBy per heading key set collects the group's DATA
-    # values; per-value counts come from in-expression array ops (group size
-    # is bounded by rows-per-table, so the k² expression is cheap); the pair
-    # expansion is a double explode — no join — and the three signed streams
-    # meet in a single final aggregate.  4 exchanges total, versus ~15 for
-    # the equivalent aggregate+join formulation (measured 5.4s → see bench),
-    # and the shuffle still scales with distinct values, never rows².
+    # Plan shape: per heading key set, ONE groupBy pre-aggregates per-value
+    # counts and a window over the (already co-partitioned) group computes
+    # the group's distinct-value count; groups under the cap collect their
+    # (value, count) structs and pair-expand with a double explode — no join
+    # — while oversized groups (a pathological table where one heading value
+    # spans millions of distinct DATA values would otherwise build one giant
+    # executor-side array) take a self-join on the group key, which shuffles
+    # but never materializes a group in memory.  The three signed streams
+    # still meet in a single final aggregate, and every shuffle scales with
+    # distinct values, never rows².
     rows = canonical.select(
         "table_id", F.col("data"), F.col("row_heading"), F.col("column_heading")
     )
@@ -156,20 +174,21 @@ def entry_context(canonical: DataFrame, hashed: bool = True) -> DataFrame:
         src = rows
         for k in keys:
             src = src.filter(F.col(k) != "")
-        grouped = src.groupBy("table_id", *keys).agg(
-            F.collect_list("data").alias("arr")
+        counts = src.groupBy("table_id", *keys, "data").agg(
+            F.count(F.lit(1)).alias("c")
         )
-        # distinct values with multiplicities, computed inside the row
-        vs = F.transform(
-            F.array_distinct("arr"),
-            lambda x: F.struct(
-                x.alias("v"),
-                F.size(F.filter(F.col("arr"), lambda y: y == x)).alias("c"),
-            ),
+        w = Window.partitionBy("table_id", *keys)
+        counts = counts.withColumn("_nv", F.count(F.lit(1)).over(w))
+        # small groups: in-expression pair expansion over (value, count)
+        # structs — the window exchange already clusters on the group key, so
+        # the collect groupBy adds no further shuffle
+        grouped = (
+            counts.filter(F.col("_nv") <= max_group_values)
+            .groupBy("table_id", *keys)
+            .agg(F.collect_list(F.struct(F.col("data").alias("v"), F.col("c"))).alias("vs"))
         )
-        return (
-            grouped.select("table_id", vs.alias("vs"))
-            .select("table_id", F.explode("vs").alias("l"), "vs")
+        small = (
+            grouped.select("table_id", F.explode("vs").alias("l"), "vs")
             .select(
                 "table_id",
                 F.col("l.v").alias("mention"),
@@ -183,6 +202,22 @@ def entry_context(canonical: DataFrame, hashed: bool = True) -> DataFrame:
                 (F.col("cl") * F.col("r.c")).alias("contrib"),
             )
         )
+        # oversized groups: the same pair products via a co-partitioned
+        # self-join (both sides ride the window's clustering)
+        big = counts.filter(F.col("_nv") > max_group_values)
+        left = big.select(
+            "table_id", *keys, F.col("data").alias("mention"), F.col("c").alias("cl")
+        )
+        right = big.select(
+            "table_id", *keys, F.col("data").alias("ctx_value"), F.col("c").alias("cr")
+        )
+        big_pairs = left.join(right, ["table_id", *keys]).select(
+            "table_id",
+            "mention",
+            "ctx_value",
+            (F.lit(sign) * F.col("cl") * F.col("cr")).alias("contrib"),
+        )
+        return small.unionByName(big_pairs)
 
     full = (
         _pair_contribs(("row_heading",), 1)

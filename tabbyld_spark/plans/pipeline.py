@@ -72,8 +72,19 @@ def annotate_canonical(
 
         fuzzy = lsh_fuzzy_candidates(mentions, kg["kg_labels"])
     literals, cands = generate_candidates(mentions, kg["kg_labels"], fuzzy=fuzzy)
+    # materialize the capped candidates once and COUNT them: the count is an
+    # exact upper bound on every per-candidate feature aggregate, which lets
+    # each feature join-back pick broadcast vs sort-merge from real numbers
+    # instead of Catalyst's non-credible derived-plan estimates (features.py
+    # _join_back; the blanket merge hint this replaces cost 45% pipeline wall
+    # time at bench scale, and the blanket broadcast it reverts OOM'd at 160k
+    # pages).  The count itself scans the just-checkpointed blocks — cheap.
+    cands = cands.localCheckpoint()
+    n_cands = cands.count()
     # P10+P11 fused: one wide-table join-back instead of two (features.py)
-    cands = FT.base_feature_ranks(cands, kg["kg_types"], kg["kg_subclass"])
+    cands = FT.base_feature_ranks(
+        cands, kg["kg_types"], kg["kg_subclass"], feat_rows=n_cands
+    )
     cands = cands.localCheckpoint()
 
     ectx = entry_context(canonical)
@@ -82,9 +93,11 @@ def annotate_canonical(
     # once: semantic_similarity self-joins its input three ways, and without a
     # materialization boundary Spark re-executes the whole upstream subplan
     # per occurrence (no cross-operator CSE) — measured 354s → 230s at 2 cores
-    cands = FT.context_similarity(cands, ectx, kctx).localCheckpoint()
+    cands = FT.context_similarity(cands, ectx, kctx, feat_rows=n_cands).localCheckpoint()
     pcl = FT.parent_classes(cands, kg["kg_triples"])
-    cands = FT.semantic_similarity(cands, pcl, salt=p16_salt).localCheckpoint()
+    cands = FT.semantic_similarity(
+        cands, pcl, salt=p16_salt, feat_rows=n_cands
+    ).localCheckpoint()
 
     scored = aggregate_ranks(cands)
     cea = cea_top1(scored, literals).localCheckpoint()
