@@ -541,7 +541,7 @@ def q_media_meta(spark, sf_dir):
 def q_media_features(spark, sf_dir):
     """Multimodal feature extraction: decode the fake image payloads and emit
     width/height/mean pixel/16-bin histogram.  The pixel body is
-    sha256(media_id be64) repeated — reproducible in SQL, so the whole
+    sha256(ASCII decimal media_id) repeated — reproducible in SQL, so the whole
     decode→feature path gets a DuckDB twin (histogram flattened to a CSV
     string for engine-neutral comparison)."""
     from tabbyld_spark.operators.multimodal import image_features, media_from_documents
@@ -622,44 +622,141 @@ def q_media_frames(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH recall contract (driver-checkable invariant for an
+    inherently approximate surface): every exact word-3-gram-Jaccard pair at
+    >= 0.18 must be recovered by the MinHash band-bucket join at distance
+    <= 0.85 (sim >= 0.15, i.e. with margin below the exact threshold).  The
+    exact denominator is the q_ngram_jaccard computation (SQL-twinned); the
+    ``found`` flag is computed against the live MinHash result, so a banding/
+    seed/recall regression flips it to false and the driver's value-hash
+    compare catches it.  The raw approximate pair set stays pytest-gated
+    (tests/test_dedup.py)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return minhash_dedup_pairs(d, threshold=0.85).select("id_a", "id_b")
+    exact = ngram_jaccard_pairs(d, threshold=0.18)
+    mh = (
+        minhash_dedup_pairs(d, threshold=0.85)
+        .select("id_a", "id_b")
+        .withColumn("_f", F.lit(True))
+    )
+    return exact.join(mh, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.coalesce("_f", F.lit(False)).alias("found"),
+    )
+
+
+# Recall floors for the ANN invariant queries: the deterministic (seeded)
+# LSH/IVF configurations exceed these on the sf0.01 driver fixture with
+# margin; the floors are the driver-enforced contract, the exact per-query
+# recall is additionally pytest-gated.
+_LSH_RECALL_FLOOR = 0.6
+_IVF_RECALL_FLOOR = 0.6
+
+
+def _ann_recall_contract(exact: DataFrame, approx: DataFrame, floor: float) -> DataFrame:
+    """(query_id, n_exact, recall_ok): n_exact from the brute-force top-k
+    (SQL-twinned); recall_ok = |approx ∩ exact| / n_exact >= floor, computed
+    against the live approximate result — the driver-checkable invariant."""
+    hits = approx.select("query_id", "neighbor_id").withColumn("_f", F.lit(1))
+    return (
+        exact.select("query_id", "neighbor_id")
+        .join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("_f", F.lit(0))).alias("_hit"),
+        )
+        .select(
+            "query_id",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (F.col("_hit") >= F.lit(floor) * F.col("n_exact")).alias("recall_ok"),
+        )
+    )
 
 
 def q_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH ANN recall contract: per query, the brute-force top-5
+    (oracled in q_cosine_topk) is the denominator and recall_ok asserts the
+    deterministic LSH shortlist recovers >= 60% of it.  A plane/seed/banding
+    regression flips recall_ok → driver hash mismatch."""
     e = _t(spark, sf_dir, "embeddings")
-    out = lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5, dim=64)
-    return out.select(
-        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
-    )
+    q = e.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(e, q, k=5)
+    # recall-oriented banding for the contract: 8 bands x 2 bits gives
+    # P(candidate) = 1-(1-p^2)^8 -- >= 97% for the cosine range of true
+    # top-5 neighbours here (measured min per-query recall 0.8 at sf0.01;
+    # the default 3x4 banding is the throughput-oriented shape and is what
+    # bench.py times)
+    approx = lsh_topk(e, q, k=5, n_planes=16, n_bands=8, dim=64)
+    return _ann_recall_contract(exact, approx, _LSH_RECALL_FLOOR)
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF approximate top-k: k-means coarse quantizer + n_probe cell scan
-    (approximate → rows-only check; ivf with n_probe == n_centroids is
-    pinned to the brute-force oracle in tests/test_similarity.py)."""
+    """IVF ANN recall contract (k-means coarse quantizer, 6 of 8 cells
+    probed — measured min per-query recall 0.8 at both sf0.001 and sf0.01;
+    4 probes dips to 0.4 on the smaller table's centroid layout): same shape
+    as q_ann_lsh; ivf with n_probe == n_centroids is additionally pinned to
+    the brute-force oracle in tests/test_similarity.py."""
     e = _t(spark, sf_dir, "embeddings")
-    out = ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5, n_centroids=8, n_probe=4)
-    return out.select(
-        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
-    )
+    q = e.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(e, q, k=5)
+    approx = ivf_topk(e, q, k=5, n_centroids=8, n_probe=6)
+    return _ann_recall_contract(exact, approx, _IVF_RECALL_FLOOR)
+
+
+def _sti_both_paths(spark):
+    """Exact-path and fuzzy-path annotation results on the STI fixture
+    (provided NER, identical canonical input — the only delta is the LSH
+    fuzzy candidate branch)."""
+    from tabbyld_spark.plans.pipeline import annotate_canonical
+
+    kg = {
+        name: _sti_t(spark, name)
+        for name in ("kg_labels", "kg_types", "kg_subclass", "kg_triples")
+    }
+    canonical = _sti_t(spark, "canonical")
+    exact = annotate_canonical(canonical, kg, provided_ner=True, fuzzy_enabled=False)
+    fuzzy = annotate_canonical(canonical, kg, provided_ner=True, fuzzy_enabled=True)
+    return exact, fuzzy
 
 
 def q_sti_cea(spark, sf_dir):
-    from tabbyld_spark.fixtures.kg import build_kg
-    from tabbyld_spark.fixtures.pages import gen_pages_pd
-    from tabbyld_spark.plans.pipeline import annotate_pages
-
-    kg = build_kg(seed=42)
-    fx = gen_pages_pd(kg, n_pages=25, seed=42)
-    res = annotate_pages(
-        spark.createDataFrame(fx.pages), kg.to_spark(spark), fuzzy_enabled=True
+    """Fuzzy-candidate CEA superset contract (VERDICT r2 task 4): the fuzzy
+    LSH branch only ADDS candidates, so every cell annotated on the exact
+    path must still be annotated with fuzzy on.  Emits the exact-path CEA
+    rows (SQL-twinned — same chain as q_sti_cea_exact) plus ``covered`` =
+    the fuzzy run annotates this cell.  Winner identity/rank is NOT asserted
+    (adding candidates legitimately changes the P16 vote pool); the raw
+    fuzzy output's P/R >= 0.95 gate lives in tests/test_e2e.py."""
+    exact, fuzzy = _sti_both_paths(spark)
+    key = ["table_id", "col_role", "mention"]
+    fz = fuzzy.cea.select(*key).distinct().withColumn("_f", F.lit(True))
+    return (
+        exact.cea.join(fz, key, "left")
+        .select(
+            *key,
+            "entity",
+            F.round("agg_rank", 6).alias("agg_rank"),
+            F.coalesce("_f", F.lit(False)).alias("covered"),
+        )
     )
-    return res.cea.select("table_id", "col_role", "mention", "entity", "agg_rank")
 
 
 def q_sti_triples(spark, sf_dir):
-    return entry(spark)
+    """Fuzzy-path triple coverage contract: every SUBJECT the exact path
+    emits triples for must also receive triples with fuzzy candidates on
+    (cells keep >= 1 candidate when candidates are added; the specific
+    object may legitimately change with the P16 vote pool).  Exact-path
+    subjects are SQL-twinned via the q_sti_triples_exact chain."""
+    exact, fuzzy = _sti_both_paths(spark)
+    fz = fuzzy.triples.select("subj").distinct().withColumn("_f", F.lit(True))
+    return (
+        exact.triples.select("subj")
+        .distinct()
+        .join(fz, "subj", "left")
+        .select("subj", F.coalesce("_f", F.lit(False)).alias("covered"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -721,6 +818,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 
 _TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+# Shared exact word-3-gram Jaccard pair CTEs (documents, doc_id < 200):
+# the q_ngram_jaccard result and the q_minhash_pairs contract denominator.
+_JACCARD_CTES = """
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents WHERE doc_id < 200
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(t[i:i+2], ' ') AS shingle
+                FROM toks, LATERAL unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS r(i)
+            ),
+            df AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+            sh2 AS (SELECT sh.* FROM sh JOIN df USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+"""
+
+# Contract twin for both ANN invariant queries: the brute-force top-5 per
+# query (same computation q_cosine_topk oracles) grouped to (query_id,
+# n_exact), with recall_ok asserted true — the Spark side computes recall_ok
+# against the live approximate result.
+_ANN_RECALL_ORACLE = """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       list_cosine_similarity(qv, cv) AS cos
+                FROM q, c WHERE query_id <> neighbor_id
+            ),
+            topk AS (
+                SELECT query_id FROM (
+                    SELECT query_id, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS rank
+                    FROM scored
+                ) WHERE rank <= 5
+            )
+            SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact,
+                   true AS recall_ok
+            FROM topk GROUP BY query_id
+"""
 
 
 def _stop_list(lang: str) -> str:
@@ -905,23 +1049,7 @@ def oracle_sql() -> dict[str, str]:
             FROM fp
         """,
         "q_ngram_jaccard": f"""
-            WITH toks AS (
-                SELECT doc_id, {_TOKENS_SQL} AS t
-                FROM documents WHERE doc_id < 200
-            ),
-            sh AS (
-                SELECT DISTINCT doc_id,
-                       array_to_string(t[i:i+2], ' ') AS shingle
-                FROM toks, LATERAL unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS r(i)
-            ),
-            df AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
-            sh2 AS (SELECT sh.* FROM sh JOIN df USING (shingle)),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id),
-            inter AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-                FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            )
+            {_JACCARD_CTES}
             SELECT id_a, id_b,
                    round(i / (sa.sz + sb.sz - i), 6) AS jaccard
             FROM inter
@@ -929,6 +1057,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE i / (sa.sz + sb.sz - i) >= 0.18
         """,
+        # contract twin of the approximate MinHash surface: same exact-Jaccard
+        # denominator, covered-by-MinHash asserted true (see q_minhash_pairs)
+        "q_minhash_pairs": f"""
+            {_JACCARD_CTES}
+            SELECT id_a, id_b,
+                   round(i / (sa.sz + sb.sz - i), 6) AS jaccard,
+                   true AS found
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i / (sa.sz + sb.sz - i) >= 0.18
+        """,
+        "q_ann_lsh": _ANN_RECALL_ORACLE,
+        "q_ann_ivf": _ANN_RECALL_ORACLE,
         "q_simhash": f"""
             WITH tok AS (
                 SELECT doc_id, md5(tok) AS h

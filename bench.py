@@ -59,9 +59,24 @@ def main() -> None:
         "q_connected_components",
     ]
     registry = E.queries()
+
+    def _ann_lsh_workload(spark, sf_dir):
+        # the registry's q_ann_lsh is now a recall CONTRACT (brute-force
+        # denominator + LSH + coverage join — see __spark_entry__); the bench
+        # keeps timing the approximate operator itself, same workload as
+        # r1/r2 so the series stays comparable
+        from pyspark.sql import functions as F
+
+        from tabbyld_spark.operators.similarity import lsh_topk
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5, dim=64)
+
+    workloads = dict(registry)
+    workloads["q_ann_lsh"] = _ann_lsh_workload
     times: dict[str, float] = {}
     for name in qnames:
-        fn = registry[name]
+        fn = workloads[name]
         _materialize(fn(spark, SF_DIR))  # warm-up (JVM + file cache)
         t0 = time.time()
         _materialize(fn(spark, SF_DIR))
@@ -80,13 +95,14 @@ def main() -> None:
     # best-of-two timed passes: this box's wall time swings up to ~2x under
     # transient VM noise; the min is the steady-state engine cost (the
     # quantity the protocol defines), identical output both passes
-    sti_sec, n_triples = None, 0
+    sti_passes: list[float] = []
+    n_triples = 0
     for _ in range(2):
         t0 = time.time()
         res = annotate_pages(pages, kgs, fuzzy_enabled=True)
         n_triples = res.triples.count()
-        dt = round(time.time() - t0, 3)
-        sti_sec = dt if sti_sec is None else min(sti_sec, dt)
+        sti_passes.append(round(time.time() - t0, 3))
+    sti_sec = min(sti_passes)
     times["q_sti_pipeline"] = sti_sec
 
     total = round(sum(times.values()), 3)
@@ -98,6 +114,8 @@ def main() -> None:
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
         "cpus": CPUS,
         "n_pages": n_pages_actual,
+        # both timed pipeline passes, so the best-of-two headline is auditable
+        "sti_pass_sec": sti_passes,
         "n_triples": n_triples,
         "triples_per_sec": round(n_triples / sti_sec, 1),
         "pages_per_sec": round(n_pages_actual / sti_sec, 1),

@@ -464,6 +464,29 @@ def sti_oracle_queries(fx: str) -> dict[str, str]:
             {_triples_ctes(canon)}
             SELECT subj, pred, obj FROM triples
         """,
+        # Fuzzy-path contract twins (__spark_entry__.q_sti_cea / q_sti_triples):
+        # the Spark side emits the EXACT-path rows plus a live coverage flag
+        # computed against the fuzzy run; the oracle asserts the same exact
+        # rows with covered = true — so a fuzzy-branch regression that drops
+        # an exact-path cell flips the flag and the driver hash-compare fails.
+        "q_sti_cea": f"""
+            WITH {_fx_tables(fx, 'kg_labels', 'kg_types', 'kg_subclass', 'kg_triples')},
+            {sql_mentions(canon)},
+            {sql_candidates('kg_labels')},
+            {_cea_ctes(canon)}
+            SELECT table_id, col_role, mention, entity,
+                   round(agg_rank, 6) AS agg_rank,
+                   true AS covered
+            FROM cea
+        """,
+        "q_sti_triples": f"""
+            WITH {_fx_tables(fx, 'kg_labels', 'kg_types', 'kg_subclass', 'kg_triples')},
+            {sql_mentions(canon)},
+            {sql_candidates('kg_labels')},
+            {_cea_ctes(canon)},
+            {_triples_ctes(canon)}
+            SELECT DISTINCT subj, true AS covered FROM triples
+        """,
         "q_annotate_rows": f"""
             WITH {_fx_tables(fx, 'kg_labels', 'kg_types', 'kg_subclass', 'kg_triples')},
             {sql_mentions(canon)},

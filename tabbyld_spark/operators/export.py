@@ -109,6 +109,27 @@ def render_rdf_xml(cea: DataFrame, table_name: str = "annotated") -> str:
     return header + body + "\n</rdf:RDF>"
 
 
+def _hadoop_fs(spark, path_str: str):
+    """(jvm, hadoopConf, FileSystem, Path) for a path of ANY scheme the
+    cluster knows (file://, hdfs://, s3a://) — the scale-path helpers below
+    go through this instead of driver-local ``open``/``glob`` so the export
+    directory does not have to be a filesystem the driver can see (ADVICE
+    r2)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    return jvm, hconf, hpath.getFileSystem(hconf), hpath
+
+
+def _fs_write_text(spark, path_str: str, content: str) -> None:
+    jvm, _, fs, hpath = _hadoop_fs(spark, path_str)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def write_rdf_xml_partitioned(
     cea: DataFrame, path: str, table_name: str = "annotated"
 ) -> str:
@@ -117,38 +138,55 @@ def write_rdf_xml_partitioned(
     row formatting), with tiny header/footer files alongside.  No row ever
     reaches the driver; :func:`assemble_rdf_xml` concatenates the parts
     file-by-file (streaming I/O, constant memory) when a single document is
-    actually needed.  ``render_rdf_xml`` remains the driver-side convenience
-    for fixture-sized output."""
-    import os
-
+    actually needed.  All I/O goes through the Hadoop FileSystem API, so
+    ``path`` may be any scheme the cluster mounts (hdfs://, s3a://, local).
+    ``render_rdf_xml`` remains the driver-side convenience for fixture-sized
+    output."""
     frags = (
         rdf_fragments(cea)
         .repartitionByRange("table_id", "fragment")
         .sortWithinPartitions("table_id", "fragment")
     )
-    frags.select("fragment").write.mode("overwrite").text(os.path.join(path, "fragments"))
-    with open(os.path.join(path, "header.xml"), "w") as f:
-        f.write(_rdf_header(table_name))
-    with open(os.path.join(path, "footer.xml"), "w") as f:
-        f.write("</rdf:RDF>\n")
+    frags.select("fragment").write.mode("overwrite").text(path.rstrip("/") + "/fragments")
+    spark = cea.sparkSession
+    _fs_write_text(spark, path.rstrip("/") + "/header.xml", _rdf_header(table_name))
+    _fs_write_text(spark, path.rstrip("/") + "/footer.xml", "</rdf:RDF>\n")
     return path
 
 
 def assemble_rdf_xml(path: str, out_file: str) -> str:
-    """Driver-side file concat of a partitioned RDF/XML export — streams the
-    ordered part files; memory use is one line, not the dataset."""
-    import glob
-    import os
+    """Concat of a partitioned RDF/XML export into one document: part files
+    are discovered and byte-copied entirely JVM-side (Hadoop ``IOUtils``
+    stream copy — no row or byte crosses py4j), so both ``path`` and
+    ``out_file`` may live on any Hadoop-visible filesystem and driver memory
+    use is one I/O buffer, not the dataset."""
+    from pyspark.sql import SparkSession
 
-    with open(out_file, "w") as out:
-        with open(os.path.join(path, "header.xml")) as f:
-            out.write(f.read())
-        for part in sorted(glob.glob(os.path.join(path, "fragments", "part-*"))):
-            with open(part) as f:
-                for line in f:
-                    out.write(line)
-        with open(os.path.join(path, "footer.xml")) as f:
-            out.write(f.read())
+    spark = SparkSession.getActiveSession()
+    if spark is None:  # pragma: no cover - assembly outside a session
+        raise RuntimeError("assemble_rdf_xml requires an active SparkSession")
+    base = path.rstrip("/")
+    jvm, hconf, fs, _ = _hadoop_fs(spark, base)
+    glob = jvm.org.apache.hadoop.fs.Path(base + "/fragments/part-*")
+    parts = sorted(
+        (st.getPath() for st in fs.globStatus(glob)), key=lambda p: p.getName()
+    )
+    srcs = (
+        [jvm.org.apache.hadoop.fs.Path(base + "/header.xml")]
+        + parts
+        + [jvm.org.apache.hadoop.fs.Path(base + "/footer.xml")]
+    )
+    _, _, out_fs, out_path = _hadoop_fs(spark, out_file)
+    out = out_fs.create(out_path, True)
+    try:
+        for src in srcs:
+            stream = src.getFileSystem(hconf).open(src)
+            try:
+                jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, hconf, False)
+            finally:
+                stream.close()
+    finally:
+        out.close()
     return out_file
 
 

@@ -9,14 +9,17 @@ Scale notes — this box (like any bandwidth-bound executor) moves shuffle
 bytes at a fixed aggregate rate, so every feature computes over a NARROW
 projection keyed by surrogate 64-bit hashes and joins back on those keys:
 
-  * mention_key = xxhash64(table_id, col_role, mention)  (candidate grain
-    together with ent_key; globally unique w.h.p. — production at 10^12 docs
-    would widen to 128-bit, same plan shape).  Identity-bearing operations
+  * mention_key = skey(table_id, col_role, mention)  (candidate grain
+    together with ent_key; one xxhash64 long by default — globally unique
+    w.h.p. at bench scale — widened to an independent two-half 128-bit
+    struct under SPARK_GRAFT_KEYBITS=128 for 10^12-doc runs; still ONE key
+    column, so plan shape is unchanged — see functions/keys.py).
+    Identity-bearing operations
     (candidate dedup, the cap/CEA/heading windows) additionally carry the
     original strings in their keys — co-partitioned, so the guard costs
     nothing — meaning a 64-bit collision can only mis-attribute one narrow
     feature value, never merge two mentions/candidates into one.
-  * ent_key     = xxhash64(entity)
+  * ent_key     = skey(entity)
   * context values compare by hash too (reference semantics is exact string
     equality — levenshtein == 0 — so hash equality is the same predicate)
 
@@ -35,6 +38,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tabbyld_spark.fixtures.kg import DBO, DBR, NER_CLASS
+from tabbyld_spark.functions.keys import entity_skey, mention_skey, skey
 from tabbyld_spark.functions.normalize import entity_localname
 
 _KEY = ["mention_key", "ent_key"]
@@ -64,11 +68,9 @@ def _join_back(
 def ensure_keys(cands: DataFrame) -> DataFrame:
     """Attach surrogate join keys if absent (idempotent; pure column exprs)."""
     if "mention_key" not in cands.columns:
-        cands = cands.withColumn(
-            "mention_key", F.xxhash64("table_id", "col_role", "mention")
-        )
+        cands = cands.withColumn("mention_key", mention_skey())
     if "ent_key" not in cands.columns and "entity" in cands.columns:
-        cands = cands.withColumn("ent_key", F.xxhash64("entity"))
+        cands = cands.withColumn("ent_key", entity_skey())
     return cands
 
 
@@ -181,7 +183,7 @@ def entity_context(cands: DataFrame, kg_triples: DataFrame, hashed: bool = True)
             .agg(F.count(F.lit(1)).alias("m"))
         )
     return (
-        both.withColumn("vhash", F.xxhash64(entity_localname("ctx")))
+        both.withColumn("vhash", skey(entity_localname("ctx")))
         .groupBy("ent_key", "vhash")
         .agg(F.count(F.lit(1)).alias("m"))
     )
@@ -206,19 +208,19 @@ def context_similarity(
     cands = ensure_keys(cands)
     if "ctx_key" not in entry_ctx.columns:
         entry_ctx = entry_ctx.select(
-            F.xxhash64("table_id", "mention").alias("ctx_key"),
-            F.xxhash64("ctx_value").alias("vhash"),
+            skey("table_id", "mention").alias("ctx_key"),
+            skey("ctx_value").alias("vhash"),
             "n",
         )
     if "ent_key" not in ent_ctx.columns:
         ent_ctx = ent_ctx.select(
-            F.xxhash64("entity").alias("ent_key"),
-            F.xxhash64("ctx_local").alias("vhash"),
+            entity_skey().alias("ent_key"),
+            skey("ctx_local").alias("vhash"),
             "m",
         )
     overlap = (
         cands.filter(F.col("col_role") == "DATA")
-        .select(*_KEY, F.xxhash64("table_id", "mention").alias("ctx_key"))
+        .select(*_KEY, skey("table_id", "mention").alias("ctx_key"))
         .join(entry_ctx, "ctx_key")
         .join(ent_ctx, ["ent_key", "vhash"])
         .groupBy(*_KEY)
@@ -274,7 +276,7 @@ def semantic_similarity(
     cands = ensure_keys(cands)
     if "pclass" in pclasses.columns and "ent_key" not in pclasses.columns:
         pclasses = pclasses.select(
-            F.xxhash64("entity").alias("ent_key"),
+            entity_skey().alias("ent_key"),
             entity_localname("pclass").alias("pclass"),
         )
     base = cands.filter(F.col("col_role") == "DATA").select(

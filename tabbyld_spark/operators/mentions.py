@@ -27,6 +27,8 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tabbyld_spark.functions.keys import mention_skey, skey
+
 from tabbyld_spark.functions.normalize import normalize_entry, split_multivalue
 
 ROLE_DATA, ROLE_ROW, ROLE_COL = "DATA", "ROW", "COL"
@@ -95,7 +97,7 @@ def heading_mentions(canonical: DataFrame, roles: tuple[str, ...] = (ROLE_ROW, R
         F.col("mention_norm") != ""
     )
     parts = parts.withColumn(
-        "mention_key", F.xxhash64("table_id", "col_role", "mention")
+        "mention_key", mention_skey()
     )
     w = Window.partitionBy("mention_key", "table_id", "col_role", "mention").orderBy(
         F.desc("row_idx"), F.desc("col_idx")
@@ -114,7 +116,7 @@ def all_mentions(canonical: DataFrame, provided_ner: bool = False) -> DataFrame:
     """Union of the three roles with a uniform schema (heading roles carry an
     empty heading_labels array)."""
     d = data_mentions(canonical, provided_ner).withColumn(
-        "mention_key", F.xxhash64("table_id", "col_role", "mention")
+        "mention_key", mention_skey()
     )
     h = heading_mentions(canonical, (ROLE_ROW, ROLE_COL), provided_ner).withColumn(
         "heading_labels", F.array().cast("array<string>")
@@ -232,7 +234,7 @@ def entry_context(
     # hashed output shape: the overlap consumer (P14) compares values by
     # exact equality, so only hashes need to travel
     return full.select(
-        F.xxhash64("table_id", "mention").alias("ctx_key"),
-        F.xxhash64("ctx_value").alias("vhash"),
+        skey("table_id", "mention").alias("ctx_key"),
+        skey("ctx_value").alias("vhash"),
         "n",
     )

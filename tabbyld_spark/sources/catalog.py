@@ -1,13 +1,21 @@
 """Snapshot catalog — the table-format abstraction behind stage resume (S8).
 
-The north rule asks for Iceberg tables with snapshot resume; the sandbox has
-no Iceberg runtime jar, so the same semantics are provided by parquet
-directories plus an atomically-replaced JSON manifest (SURVEY.md §7 M4
-fallback).  The public API is format-agnostic: swap `SnapshotCatalog` for an
-Iceberg catalog on a real cluster and `run_stage` keeps working.
+The north rule asks for Iceberg tables with snapshot resume.  Two bindings
+share one API:
 
-Guarantees:
-  * a snapshot is visible only after its manifest commit (os.replace = atomic)
+  * ``SnapshotCatalog`` — parquet directories plus an atomically-replaced
+    JSON manifest (SURVEY.md §7 M4 fallback; always available)
+  * ``IcebergCatalog`` — real Iceberg tables (atomic snapshot commits,
+    lineage as snapshot summary properties) when the Iceberg Spark runtime
+    jar is on the classpath; the sandbox ships none, so this binding is
+    feature-gated on :func:`iceberg_available` and its tests skip here
+
+``make_catalog`` picks the best available binding; ``run_stage`` keeps
+working unchanged against either.
+
+Guarantees (both bindings):
+  * a snapshot is visible only after its atomic commit (os.replace for the
+    manifest; Iceberg's metadata-pointer swap for tables)
   * `run_stage` recomputes a stage only if it has no committed snapshot —
     kill the job between stages and a rerun resumes from the last commit
   * every commit records per-stage lineage (row count, inputs, snapshot id)
@@ -25,8 +33,28 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
+class _StageRunner:
+    """Resume-aware stage execution shared by every catalog binding."""
+
+    def run_stage(
+        self,
+        spark: SparkSession,
+        table: str,
+        compute: Callable[[], DataFrame],
+        lineage: dict | None = None,
+        force: bool = False,
+    ) -> DataFrame:
+        """Reuse the committed snapshot if one exists, else compute → commit
+        → read back (so downstream stages read stable files, not live
+        lineage)."""
+        if not force and self.exists(table):
+            return self.read(spark, table)
+        self.write(compute(), table, lineage=lineage)
+        return self.read(spark, table)
+
+
 @dataclass
-class SnapshotCatalog:
+class SnapshotCatalog(_StageRunner):
     root: str
 
     def _table_dir(self, table: str) -> str:
@@ -78,18 +106,104 @@ class SnapshotCatalog:
     def drop(self, table: str) -> None:
         shutil.rmtree(self._table_dir(table), ignore_errors=True)
 
-    def run_stage(
-        self,
-        spark: SparkSession,
-        table: str,
-        compute: Callable[[], DataFrame],
-        lineage: dict | None = None,
-        force: bool = False,
-    ) -> DataFrame:
-        """Resume-aware stage execution: reuse the committed snapshot if one
-        exists, else compute → commit → read back (so downstream stages read
-        stable files, not live lineage)."""
-        if not force and self.exists(table):
-            return self.read(spark, table)
-        self.write(compute(), table, lineage=lineage)
-        return self.read(spark, table)
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime jar is on the session classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def iceberg_session_conf(warehouse: str, catalog: str = "graft") -> dict[str, str]:
+    """extra_conf for :func:`tabbyld_spark.session.get_spark` that registers a
+    Hadoop-warehouse Iceberg catalog (the self-contained setup — no external
+    metastore; the warehouse dir may be hdfs:// or s3a:// on a cluster)."""
+    return {
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }
+
+
+@dataclass
+class IcebergCatalog(_StageRunner):
+    """Iceberg binding of the snapshot-catalog API: commits are Iceberg
+    snapshots (atomic metadata-pointer swap), lineage rides as snapshot
+    summary properties, and ``manifest`` is reconstructed from the table's
+    ``.snapshots`` metadata — the per-partition lineage/metrics surface the
+    north rule names, on the real table format.  Requires a session built
+    with :func:`iceberg_session_conf`."""
+
+    catalog: str = "graft"
+    namespace: str = "tabbyld"
+
+    def _ident(self, table: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{table}"
+
+    def exists(self, table: str) -> bool:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        return spark is not None and spark.catalog.tableExists(self._ident(table))
+
+    def manifest(self, table: str) -> dict | None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None or not self.exists(table):
+            return None
+        snaps = (
+            spark.read.table(f"{self._ident(table)}.snapshots")
+            .orderBy("committed_at")
+            .select("snapshot_id", "summary")
+            .collect()
+        )
+        history = [
+            {
+                "snapshot": str(r["snapshot_id"]),
+                "rows": int(r["summary"].get("total-records", "0")),
+                "lineage": json.loads(r["summary"].get("tabbyld-lineage", "{}")),
+            }
+            for r in snaps
+        ]
+        return {
+            "current": history[-1]["snapshot"] if history else None,
+            "history": history,
+        }
+
+    def write(self, df: DataFrame, table: str, lineage: dict | None = None) -> str:
+        (
+            df.writeTo(self._ident(table))
+            .using("iceberg")
+            .option("snapshot-property.tabbyld-lineage", json.dumps(lineage or {}))
+            .createOrReplace()
+        )
+        return self.manifest(table)["current"]
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        if not self.exists(table):
+            raise FileNotFoundError(f"no committed snapshot for table {table!r}")
+        return spark.read.table(self._ident(table))
+
+    def drop(self, table: str) -> None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            spark.sql(f"DROP TABLE IF EXISTS {self._ident(table)} PURGE")
+
+
+def make_catalog(spark: SparkSession, root: str) -> _StageRunner:
+    """Best available binding: Iceberg when its runtime is on the classpath
+    AND the session registered an Iceberg catalog, else the parquet+manifest
+    stand-in (byte-compatible API either way)."""
+    if iceberg_available(spark) and spark.conf.get(
+        "spark.sql.catalog.graft", None
+    ):
+        return IcebergCatalog()
+    return SnapshotCatalog(root)

@@ -79,6 +79,15 @@ def read_workbook(data: bytes) -> dict[str, list[list[str]]]:
         ws = ET.fromstring(zf.read(target))
         rows: list[list[str]] = []
         for row in ws.findall("m:sheetData/m:row", _NS):
+            # Excel omits fully-empty rows from sheetData; honoring the row
+            # 'r' attribute (1-based) keeps positional alignment between the
+            # CANONICAL and NER sheets when their sparsity differs (the same
+            # way _col_index honors cell refs).  Missing positions become
+            # empty rows, padded to the rectangle width below.
+            r_attr = row.get("r")
+            if r_attr is not None and r_attr.isdigit():
+                while len(rows) < int(r_attr) - 1:
+                    rows.append([])
             cells: list[str] = []
             for c in row.findall("m:c", _NS):
                 idx = _col_index(c.get("r", ""))

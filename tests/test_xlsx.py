@@ -60,6 +60,33 @@ def test_workbook_round_trip(workbook_dir):
     assert len(sheets[SHEET_CANONICAL]) == len(sheets[SHEET_NER])
 
 
+def test_sparse_rows_keep_positions(tmp_path):
+    """Excel omits fully-empty rows from sheetData; the reader must honor the
+    row 'r' attribute so CANONICAL/NER sheets with different sparsity stay
+    positionally aligned (ADVICE r2)."""
+    import re
+    import zipfile
+
+    path = str(tmp_path / "sparse.xlsx")
+    write_workbook(
+        path,
+        {SHEET_CANONICAL: [["h"], ["a"], [""], ["c"]], SHEET_NER: [["h"], ["NONE"], ["NONE"], ["NONE"]]},
+    )
+    # simulate Excel dropping the empty row 3 from the CANONICAL sheet only
+    with zipfile.ZipFile(path) as zf:
+        parts = {n: zf.read(n) for n in zf.namelist()}
+    sheet1 = parts["xl/worksheets/sheet1.xml"].decode()
+    parts["xl/worksheets/sheet1.xml"] = re.sub(
+        r'<row r="3">.*?</row>', "", sheet1
+    ).encode()
+    with zipfile.ZipFile(path, "w") as zf:
+        for n, b in parts.items():
+            zf.writestr(n, b)
+    sheets = read_workbook(open(path, "rb").read())
+    assert sheets[SHEET_CANONICAL] == [["h"], ["a"], [""], ["c"]]
+    assert len(sheets[SHEET_CANONICAL]) == len(sheets[SHEET_NER])
+
+
 def test_xlsx_to_canonical_values(spark, workbook_dir):
     out, tables, fx = workbook_dir
     canon = xlsx_dataset_to_canonical(spark, out + "/*.xlsx")

@@ -11,6 +11,8 @@
   * WholeStageCodegen spans cover the expression pipeline
 
 Prints one PASS/FAIL line per check + the evidence; exits non-zero on FAIL.
+Also wired into pytest (tests/test_plan_audit.py) so a plan regression fails
+CI, not just a manual run.
 Usage: python tools/plan_audit.py
 """
 
@@ -20,38 +22,32 @@ import sys
 
 sys.path.insert(0, ".")
 
-from tabbyld_spark.session import get_spark  # noqa: E402
-
 
 def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def check(name: str, ok: bool, evidence: str) -> bool:
-    print(f"{'PASS' if ok else 'FAIL'} {name}: {evidence}")
-    return ok
-
-
-def main() -> int:
+def run_audit(spark, sf: str = "/root/testdata/sf0.01") -> list[tuple[str, bool, str]]:
+    """All checks against an existing session → [(name, ok, evidence)]."""
     import __spark_entry__ as E
     from tabbyld_spark.fixtures.kg import build_kg
     from tabbyld_spark.fixtures.pages import gen_pages_pd
     from tabbyld_spark.plans.pipeline import annotate_canonical
 
-    spark = get_spark("plan-audit", cores=8, shuffle_partitions=8)
-    spark.sparkContext.setLogLevel("ERROR")
-    sf = "/root/testdata/sf0.01"
-    ok = True
+    results: list[tuple[str, bool, str]] = []
+
+    def check(name: str, ok: bool, evidence: str) -> None:
+        results.append((name, bool(ok), evidence))
 
     # 1. predicate pushdown + column pruning on the parquet scan
     p = plan_of(E.q_filter_project(spark, sf))
-    ok &= check(
+    check(
         "pushdown/q_filter_project",
         "PushedFilters: [" in p and "IsNotNull" in p.split("PushedFilters:")[1][:200],
         "PushedFilters present",
     )
     read_schema = p.split("ReadSchema:")[1].split("\n")[0] if "ReadSchema:" in p else ""
-    ok &= check(
+    check(
         "pruning/q_filter_project",
         "l_comment" not in read_schema and "l_orderkey" in read_schema,
         f"ReadSchema={read_schema.strip()[:120]}",
@@ -61,7 +57,7 @@ def main() -> int:
     # the threshold, so we only require the nation/region dims broadcast —
     # Catalyst promoting more is correct, not a failure)
     p = plan_of(E.q_join_multi(spark, sf))
-    ok &= check(
+    check(
         "broadcast/q_join_multi",
         p.count("BroadcastHashJoin") >= 2,
         f"{p.count('BroadcastHashJoin')} broadcast joins",
@@ -84,25 +80,25 @@ def main() -> int:
         exact_candidates(attach_ner(all_mentions(canonical), gaz), kgs["kg_labels"])
     )
     p = plan_of(cands)
-    ok &= check(
+    check(
         "broadcast/candidate-dictionary",
         p.count("BroadcastHashJoin") >= 2,
         f"{p.count('BroadcastHashJoin')} broadcast joins (gazetteer + label dict)",
     )
-    ok &= check(
+    check(
         "no-row-python/candidates",
         "BatchEvalPython" not in p,
         "no row-at-a-time Python UDF in the candidate plan",
     )
     # codegen spans print as "*(n) Operator" in the executed-plan string
-    ok &= check(
+    check(
         "codegen/candidates",
         "*(" in p,
         f"{sum(1 for ln in p.splitlines() if '*(' in ln)} operators inside codegen spans",
     )
     # end-to-end sanity on the same fixture (checkpointed result still runs)
     res = annotate_canonical(canonical, kgs, provided_ner=True, fuzzy_enabled=False)
-    ok &= check("pipeline-runs", res.cea.count() > 0, "CEA non-empty")
+    check("pipeline-runs", res.cea.count() > 0, "CEA non-empty")
 
     # 4. the one pandas UDF path is Arrow-batched
     from tabbyld_spark.extract.html import extract_pages
@@ -110,12 +106,23 @@ def main() -> int:
     pages = spark.createDataFrame(fx.pages)
     p = plan_of(extract_pages(pages))
     arrow = ("ArrowEvalPython" in p) or ("MapInPandas" in p) or ("EvalPython" in p and "Batch" not in p)
-    ok &= check(
+    check(
         "arrow-only/extract",
         arrow and "BatchEvalPython" not in p,
         "extraction runs through the Arrow batch evaluator",
     )
+    return results
 
+
+def main() -> int:
+    from tabbyld_spark.session import get_spark
+
+    spark = get_spark("plan-audit", cores=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    ok = True
+    for name, passed, evidence in run_audit(spark):
+        print(f"{'PASS' if passed else 'FAIL'} {name}: {evidence}")
+        ok &= passed
     print("AUDIT", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
