@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import tempfile
 
 from tabbyld_spark.functions.normalize import entity_localname_sql, normalize_entry_sql
 
@@ -42,7 +43,20 @@ TABLES = ("kg_labels", "kg_types", "kg_subclass", "kg_triples", "canonical", "ca
 
 
 def fixture_dir() -> str:
-    return os.path.join(_REPO, ".sti_fixture", f"v{VERSION}")
+    # TABBYLD_FIXTURE_DIR overrides; otherwise cache next to the repo.  When
+    # the package is zip-imported (spark-submit --py-files), _REPO resolves
+    # INSIDE the .zip and is not a real directory — fall back to a per-user
+    # tmp cache so the production invocation mode still works.
+    base = os.environ.get("TABBYLD_FIXTURE_DIR")
+    if base is None:
+        base = (
+            os.path.join(_REPO, ".sti_fixture")
+            if os.path.isdir(_REPO)
+            else os.path.join(
+                tempfile.gettempdir(), f"tabbyld_sti_fixture_{os.getuid()}"
+            )
+        )
+    return os.path.join(base, f"v{VERSION}")
 
 
 def sql_mentions(canonical: str) -> str:
