@@ -596,10 +596,13 @@ def q_connected_components(spark, sf_dir):
     from tabbyld_spark.operators.components import connected_components
 
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 120)
+    # no .distinct(): the operator's batch-local union-find contraction
+    # dedups inherently, and the distinct's session-width shuffle would
+    # cost more than every loop round combined on this graph
     edges = li.select(
         F.concat(F.lit("o"), F.format_string("%09d", "l_orderkey")).alias("src"),
         F.concat(F.lit("p"), F.format_string("%09d", "l_partkey")).alias("dst"),
-    ).distinct()
+    )
     return connected_components(edges).select("node", "component")
 
 

@@ -20,10 +20,55 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from tabbyld_spark.functions.joins import parse_byte_conf
+
+
+def contract_edges(edges: DataFrame) -> DataFrame:
+    """Per-Arrow-batch union-find contraction: each batch's edges are
+    replaced by that batch's star spanning forest (component-min node →
+    member node).  Replacing any edge subset by a spanning forest of the
+    same subset preserves global connectivity, so the hash-min loop on the
+    contracted set is exact — but the set it shuffles shrinks from |E| to
+    at most |V(batch)| − #components per batch, usually orders of magnitude
+    at web scale (and union-by-min keeps chains flat, so the loop also
+    starts one hop from converged on locally-complete components).  Arrow
+    mapInPandas, no driver involvement; union-find is near-linear per
+    batch."""
+
+    def forest(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for s, d in zip(pdf["src"], pdf["dst"]):
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    # union by MIN: the surviving root is the smallest id,
+                    # so emitted stars already point at the local component
+                    # minimum
+                    if rs < rd:
+                        parent[rd] = rs
+                    else:
+                        parent[rs] = rd
+            nodes = set(pdf["src"]) | set(pdf["dst"])
+            rows = [(find(n), n) for n in nodes]
+            yield pd.DataFrame(
+                [(r, n) for r, n in rows if r != n], columns=["src", "dst"]
+            )
+
+    return edges.mapInPandas(forest, "src string, dst string")
 
 
 def connected_components(
@@ -45,10 +90,36 @@ def connected_components(
     the label side.  When the graph is small enough (exact node count, known
     after the first materialization) the label side broadcasts instead and
     the propagation join runs with no per-iteration shuffle at all."""
-    sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # Phase 1: batch-local union-find contraction (see contract_edges) —
+    # the loop below never sees the raw edge volume.  Direction is
+    # irrelevant to union-find, so contraction runs BEFORE symmetrization
+    # (half the Arrow transfer) and the forest is symmetrized instead.
+    forest = contract_edges(
+        edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    ).localCheckpoint()
+    # Size the loop's shuffle parallelism to the CONTRACTED volume (the
+    # checkpoint makes the count a cheap in-memory scan): a web-scale run
+    # keeps the session width, a small graph collapses to a few partitions
+    # so per-task/per-stage overhead doesn't dominate the O(log n) rounds —
+    # the upstream edge frame arrives at whatever width the caller's plan
+    # chose (often sessions-width × 2 after the symmetrizing union), and
+    # every loop stage would re-pay that map-task count otherwise.  With
+    # AQE on, its partition coalescing already does this — leave the conf
+    # alone and keep the incoming width.
+    sess = edges.sparkSession
+    prev_parts = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    aqe_on = (
+        str(sess.conf.get("spark.sql.adaptive.enabled", "false")).lower()
+        == "true"
     )
-    sym = sym.filter(F.col("src") != F.col("dst")).distinct()
+    loop_parts = prev_parts
+    if not aqe_on:
+        loop_parts = max(4, min(prev_parts, forest.count() // 10_000 + 1))
+    sym = forest.unionByName(
+        forest.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    if loop_parts < prev_parts:
+        sym = sym.coalesce(loop_parts)  # narrow, no shuffle
     # _salt is a pure function of src — loop-invariant, so it rides in the
     # pre-loop partitioning instead of being recomputed per iteration
     join_key = ["dst"]
@@ -56,6 +127,24 @@ def connected_components(
         sym = sym.withColumn("_salt", F.pmod(F.xxhash64("src"), F.lit(salt)))
         join_key = ["dst", "_salt"]
     sym = sym.localCheckpoint()
+    return _hash_min_loop(
+        sess, sym, join_key, salt, max_iters, prev_parts, loop_parts
+    )
+
+
+def _hash_min_loop(
+    sess, sym, join_key, salt, max_iters, prev_parts, loop_parts
+) -> DataFrame:
+    if loop_parts != prev_parts:
+        sess.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        return _hash_min_body(sym, join_key, salt, max_iters)
+    finally:
+        if loop_parts != prev_parts:
+            sess.conf.set("spark.sql.shuffle.partitions", str(prev_parts))
+
+
+def _hash_min_body(sym, join_key, salt, max_iters) -> DataFrame:
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -99,22 +188,35 @@ def connected_components(
         if big_graph:
             lab_rep = lab_rep.hint("merge")
         nbr = sym.join(lab_rep, join_key).select(
-            F.col("src").alias("node"), "component"
+            F.col("src").alias("node"), "component", F.lit(0).alias("_self")
         )
+        # one shuffle computes BOTH the new label and the convergence signal:
+        # the old label rides the union as the _self-tagged row, and an
+        # Observation counts changed nodes during the same job that
+        # materializes the checkpoint — no separate join+count action per
+        # round (that second job dominated wall time on small graphs)
+        obs = Observation()
         new_labels = (
-            labels.unionByName(nbr)
+            labels.withColumn("_self", F.lit(1))
+            .unionByName(nbr)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(
+                    F.when(F.col("_self") == 1, F.col("component"))
+                ).alias("_old"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("component") != F.col("_old")).cast("long")
+                ).alias("changed"),
+            )
+            .select("node", "component")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if (obs.get["changed"] or 0) == 0:
             break
     return labels
 
