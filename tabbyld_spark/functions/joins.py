@@ -16,6 +16,7 @@ only below the session broadcast threshold.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -123,3 +124,30 @@ def count_gated_hint(
     if n_rows is not None and n_rows * row_bytes <= cap_bytes:
         return F.broadcast(df)
     return df.hint("merge")
+
+
+@contextmanager
+def loop_shuffle_width(sess, n_rows: int, rows_per_partition: int = 10_000):
+    """Temporarily size ``spark.sql.shuffle.partitions`` to the data an
+    iterative loop actually shuffles.  Driver-side convergence loops
+    (connected components, transitive closure) re-pay per-task scheduling
+    overhead every round, so a loop over a few-hundred-row frame must not
+    run session-width stages; a web-scale run keeps the session setting
+    (the width only ever narrows).  When AQE is enabled its partition
+    coalescing already solves this — the conf is left untouched.  Restores
+    the previous value on exit; the narrowed value is only observed by jobs
+    the loop itself triggers (eager checkpoints), never by the caller's
+    downstream actions."""
+    prev = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    aqe_on = (
+        str(sess.conf.get("spark.sql.adaptive.enabled", "false")).lower()
+        == "true"
+    )
+    width = prev if aqe_on else max(4, min(prev, n_rows // rows_per_partition + 1))
+    if width != prev:
+        sess.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        yield width
+    finally:
+        if width != prev:
+            sess.conf.set("spark.sql.shuffle.partitions", str(prev))

@@ -97,51 +97,31 @@ def connected_components(
     forest = contract_edges(
         edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     ).localCheckpoint()
-    # Size the loop's shuffle parallelism to the CONTRACTED volume (the
-    # checkpoint makes the count a cheap in-memory scan): a web-scale run
-    # keeps the session width, a small graph collapses to a few partitions
-    # so per-task/per-stage overhead doesn't dominate the O(log n) rounds —
+    # Loop shuffle width sized to the CONTRACTED volume (the checkpoint
+    # makes the count a cheap in-memory scan): a web-scale run keeps the
+    # session width, a small graph collapses to a few partitions so
+    # per-task/per-stage overhead doesn't dominate the O(log n) rounds —
     # the upstream edge frame arrives at whatever width the caller's plan
-    # chose (often sessions-width × 2 after the symmetrizing union), and
-    # every loop stage would re-pay that map-task count otherwise.  With
-    # AQE on, its partition coalescing already does this — leave the conf
-    # alone and keep the incoming width.
-    sess = edges.sparkSession
-    prev_parts = int(sess.conf.get("spark.sql.shuffle.partitions"))
-    aqe_on = (
-        str(sess.conf.get("spark.sql.adaptive.enabled", "false")).lower()
-        == "true"
-    )
-    loop_parts = prev_parts
-    if not aqe_on:
-        loop_parts = max(4, min(prev_parts, forest.count() // 10_000 + 1))
-    sym = forest.unionByName(
-        forest.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    if loop_parts < prev_parts:
-        sym = sym.coalesce(loop_parts)  # narrow, no shuffle
-    # _salt is a pure function of src — loop-invariant, so it rides in the
-    # pre-loop partitioning instead of being recomputed per iteration
-    join_key = ["dst"]
-    if salt > 1:
-        sym = sym.withColumn("_salt", F.pmod(F.xxhash64("src"), F.lit(salt)))
-        join_key = ["dst", "_salt"]
-    sym = sym.localCheckpoint()
-    return _hash_min_loop(
-        sess, sym, join_key, salt, max_iters, prev_parts, loop_parts
-    )
+    # chose, and every loop stage would re-pay that map-task count
+    # otherwise (see loop_shuffle_width for the AQE interaction).
+    from tabbyld_spark.functions.joins import loop_shuffle_width
 
-
-def _hash_min_loop(
-    sess, sym, join_key, salt, max_iters, prev_parts, loop_parts
-) -> DataFrame:
-    if loop_parts != prev_parts:
-        sess.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-    try:
+    with loop_shuffle_width(edges.sparkSession, forest.count()) as width:
+        sym = forest.unionByName(
+            forest.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        if width < sym.rdd.getNumPartitions():
+            sym = sym.coalesce(width)  # narrow, no shuffle
+        # _salt is a pure function of src — loop-invariant, so it rides in
+        # the pre-loop partitioning instead of being recomputed per iteration
+        join_key = ["dst"]
+        if salt > 1:
+            sym = sym.withColumn(
+                "_salt", F.pmod(F.xxhash64("src"), F.lit(salt))
+            )
+            join_key = ["dst", "_salt"]
+        sym = sym.localCheckpoint()
         return _hash_min_body(sym, join_key, salt, max_iters)
-    finally:
-        if loop_parts != prev_parts:
-            sess.conf.set("spark.sql.shuffle.partitions", str(prev_parts))
 
 
 def _hash_min_body(sym, join_key, salt, max_iters) -> DataFrame:
