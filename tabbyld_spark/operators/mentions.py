@@ -168,16 +168,23 @@ def entry_context(
     # but never materializes a group in memory.  The three signed streams
     # still meet in a single final aggregate, and every shuffle scales with
     # distinct values, never rows².
-    rows = canonical.select(
-        "table_id", F.col("data"), F.col("row_heading"), F.col("column_heading")
+    # ONE full-width aggregate over the row data; the three signed streams
+    # then re-aggregate this (tables × headings × values)-bounded base
+    # instead of each shuffling the raw rows again
+    base = (
+        canonical.select(
+            "table_id", F.col("data"), F.col("row_heading"), F.col("column_heading")
+        )
+        .groupBy("table_id", "row_heading", "column_heading", "data")
+        .agg(F.count(F.lit(1)).alias("_c0"))
     )
 
     def _pair_contribs(keys: tuple[str, ...], sign: int) -> DataFrame:
-        src = rows
+        src = base
         for k in keys:
             src = src.filter(F.col(k) != "")
         counts = src.groupBy("table_id", *keys, "data").agg(
-            F.count(F.lit(1)).alias("c")
+            F.sum("_c0").alias("c")
         )
         w = Window.partitionBy("table_id", *keys)
         counts = counts.withColumn("_nv", F.count(F.lit(1)).over(w))
