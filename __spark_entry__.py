@@ -435,6 +435,31 @@ def q_annotate_rows(spark, sf_dir):
     )
 
 
+def q_gold_cta(spark, sf_dir):
+    """CTA gold ingest (sources/gold.py): SemTab-style positional CSV →
+    heading-grain gold frame, resolved through the canonical heading map.
+    DuckDB twin reads the same CSV + canonical parquet."""
+    from tabbyld_spark.fixtures.gold_fixture import ensure_gold_fixture
+    from tabbyld_spark.sources.gold import read_gold_cta
+
+    gd = ensure_gold_fixture()
+    return read_gold_cta(
+        spark, f"{gd}/cta_gt.csv", _sti_t(spark, "canonical")
+    ).select("table_id", F.col("column").alias("col_heading"), "class")
+
+
+def q_gold_cpa(spark, sf_dir):
+    """CPA gold ingest: position 0 resolves to the RowHeading subject role,
+    object positions through the heading map."""
+    from tabbyld_spark.fixtures.gold_fixture import ensure_gold_fixture
+    from tabbyld_spark.sources.gold import read_gold_cpa
+
+    gd = ensure_gold_fixture()
+    return read_gold_cpa(
+        spark, f"{gd}/cpa_gt.csv", _sti_t(spark, "canonical")
+    ).select("table_id", "col_a", "col_b", "pred")
+
+
 # --------------------------------------------------------------------------
 # training-data ops (documents / embeddings)
 # --------------------------------------------------------------------------
@@ -793,6 +818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sti_cea_exact": q_sti_cea_exact,
         "q_sti_triples_exact": q_sti_triples_exact,
         "q_annotate_rows": q_annotate_rows,
+        "q_gold_cta": q_gold_cta,
+        "q_gold_cpa": q_gold_cpa,
         "q_dedup_exact": q_dedup_exact,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_simhash": q_simhash,
@@ -888,8 +915,43 @@ def oracle_sql() -> dict[str, str]:
         f"FROM toks GROUP BY doc_id"
         for lang in langs
     )
+    from tabbyld_spark.fixtures.gold_fixture import ensure_gold_fixture
+
+    gd = ensure_gold_fixture()
+    canon_pq = f"read_parquet('{ensure_sti_fixture()}/canonical.parquet')"
+    gold_cols_cta = (
+        "columns={'table_id':'VARCHAR','col_pos':'INT','class':'VARCHAR'}"
+    )
+    gold_cols_cpa = (
+        "columns={'table_id':'VARCHAR','col_a_pos':'INT',"
+        "'col_b_pos':'INT','pred':'VARCHAR'}"
+    )
     return {
         **sti,
+        "q_gold_cta": f"""
+            WITH cmap AS (
+                SELECT DISTINCT table_id, col_idx + 1 AS col_pos, column_heading
+                FROM {canon_pq}
+            ),
+            g AS (SELECT * FROM read_csv('{gd}/cta_gt.csv', header=false, {gold_cols_cta}))
+            SELECT DISTINCT g.table_id, cmap.column_heading AS col_heading, g.class
+            FROM g JOIN cmap ON g.table_id = cmap.table_id AND g.col_pos = cmap.col_pos
+        """,
+        "q_gold_cpa": f"""
+            WITH cmap AS (
+                SELECT DISTINCT table_id, col_idx + 1 AS col_pos, column_heading
+                FROM {canon_pq}
+            ),
+            g AS (SELECT * FROM read_csv('{gd}/cpa_gt.csv', header=false, {gold_cols_cpa}))
+            SELECT DISTINCT g.table_id,
+                   CASE WHEN g.col_a_pos = 0 THEN 'RowHeading' ELSE a.column_heading END AS col_a,
+                   b.column_heading AS col_b,
+                   g.pred
+            FROM g
+            LEFT JOIN cmap a ON g.table_id = a.table_id AND g.col_a_pos = a.col_pos
+            JOIN cmap b ON g.table_id = b.table_id AND g.col_b_pos = b.col_pos
+            WHERE g.col_a_pos = 0 OR a.column_heading IS NOT NULL
+        """,
         "q_filter_project": """
             SELECT l_orderkey, l_linenumber,
                    round(l_extendedprice * (1 - l_discount), 4) AS net_price
