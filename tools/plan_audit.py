@@ -111,6 +111,25 @@ def run_audit(spark, sf: str = "/root/testdata/sf0.01") -> list[tuple[str, bool,
         arrow and "BatchEvalPython" not in p,
         "extraction runs through the Arrow batch evaluator",
     )
+
+    # 5. gold-ingest readers: the tiny gold CSV side must be the broadcast
+    # build against the corpus-derived heading map (a shuffle join here
+    # would move the whole canonical aggregate for a KB-sized gold file)
+    from tabbyld_spark.fixtures.gold_fixture import ensure_gold_fixture
+    from tabbyld_spark.sources.gold import read_gold_cpa, read_gold_cta
+
+    gd = ensure_gold_fixture()
+    canon_fx = spark.createDataFrame(fx.canonical)
+    for nm, fn, csv in (
+        ("gold-cta", read_gold_cta, "cta_gt.csv"),
+        ("gold-cpa", read_gold_cpa, "cpa_gt.csv"),
+    ):
+        p = plan_of(fn(spark, f"{gd}/{csv}", canon_fx))
+        check(
+            f"broadcast/{nm}",
+            "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+            "gold side broadcasts; no sort-merge in the reader plan",
+        )
     return results
 
 
