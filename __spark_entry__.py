@@ -460,6 +460,17 @@ def q_gold_cpa(spark, sf_dir):
     ).select("table_id", "col_a", "col_b", "pred")
 
 
+def q_dataprep(spark, sf_dir):
+    """Composed training-data prep chain (plans/dataprep.py): exact dedup →
+    SimHash-bucket near-dup collapse → language filter → quality gate.  The
+    DuckDB twin composes the same per-operator SQL fragments, so the
+    two-engine check covers the composition."""
+    from tabbyld_spark.plans.dataprep import prep_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return prep_corpus(docs)
+
+
 # --------------------------------------------------------------------------
 # training-data ops (documents / embeddings)
 # --------------------------------------------------------------------------
@@ -820,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_annotate_rows": q_annotate_rows,
         "q_gold_cta": q_gold_cta,
         "q_gold_cpa": q_gold_cpa,
+        "q_dataprep": q_dataprep,
         "q_dedup_exact": q_dedup_exact,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_simhash": q_simhash,
@@ -951,6 +963,71 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN cmap a ON g.table_id = a.table_id AND g.col_a_pos = a.col_pos
             JOIN cmap b ON g.table_id = b.table_id AND g.col_b_pos = b.col_pos
             WHERE g.col_a_pos = 0 OR a.column_heading IS NOT NULL
+        """,
+        "q_dataprep": f"""
+            WITH fp AS (
+                SELECT doc_id, text,
+                       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+                FROM documents
+            ),
+            s1 AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY f) AS keep FROM fp
+                ) WHERE doc_id = keep
+            ),
+            tok1 AS (
+                SELECT doc_id, md5(tok) AS h
+                FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM s1)
+            ),
+            bits AS (
+                SELECT doc_id, j,
+                       (instr('0123456789abcdef',
+                              substring(h, CAST(floor(j / 4) AS INT) + 1, 1)) - 1) AS digit
+                FROM tok1, LATERAL unnest(range(0, 32)) AS r(j)
+            ),
+            votes AS (
+                SELECT doc_id, j,
+                       sum((CAST(floor(digit / power(2.0, 3 - j % 4)) AS BIGINT) % 2) * 2 - 1) AS vote
+                FROM bits GROUP BY doc_id, j
+            ),
+            sh AS (
+                SELECT doc_id,
+                       sum(CASE WHEN vote > 0 THEN CAST(power(2.0, j) AS BIGINT) ELSE 0 END) AS simhash
+                FROM votes GROUP BY doc_id
+            ),
+            s2 AS (
+                SELECT s1.doc_id, s1.text FROM s1 JOIN (
+                    SELECT doc_id FROM (
+                        SELECT doc_id, min(doc_id) OVER (PARTITION BY simhash) AS keep FROM sh
+                    ) WHERE doc_id = keep
+                ) k ON s1.doc_id = k.doc_id
+            ),
+            toks AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM s2),
+            hits AS ({lang_hits}),
+            lid AS (
+                SELECT doc_id, lang AS pred_lang FROM (
+                    SELECT doc_id, lang, hits,
+                           row_number() OVER (PARTITION BY doc_id
+                               ORDER BY hits DESC, lang ASC) AS rn
+                    FROM hits) WHERE rn = 1
+            ),
+            q AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       {_TOKENS_SQL} AS t,
+                       length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct
+                FROM s2
+            )
+            SELECT q.doc_id, lid.pred_lang,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(len(t) AS BIGINT) AS n_tokens,
+                   round(punct / n_chars, 6) AS punct_ratio,
+                   round(len(list_filter(t, x -> lower(x) IN ({_stop_list('en')}))) / len(t), 6) AS stopword_ratio
+            FROM q JOIN lid ON q.doc_id = lid.doc_id
+            WHERE lid.pred_lang = 'en'
+              AND len(t) >= 20
+              AND punct / n_chars <= 0.25
+              AND CAST(len(list_filter(t, x -> lower(x) IN ({_stop_list('en')}))) AS DOUBLE) / len(t) >= 0.01
         """,
         "q_filter_project": """
             SELECT l_orderkey, l_linenumber,

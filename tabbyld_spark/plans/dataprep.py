@@ -1,0 +1,72 @@
+"""Training-data corpus preparation — the composed LLM-data pipeline.
+
+Chains the individually-oracled document operators into the shape a
+web-scale training-data prep job actually runs:
+
+    S1 exact dedup          keep the min-id doc of each byte-identical group
+    S2 near-dup collapse    keep the min-id doc of each 32-bit SimHash bucket
+                            (identical simhash ⇒ near-identical token bag —
+                            deterministic and SQL-twinnable, unlike banded
+                            Hamming neighbours which stay on the MinHash/LSH
+                            approximate surfaces)
+    S3 language filter      heuristic stopword-vote language id == target
+    S4 quality gate         token count + punctuation + stopword-ratio cuts
+
+Every stage is columnar (window dedups, no joins wider than doc_id), so the
+whole chain is three hash shuffles on doc-grain keys plus the per-doc
+expression work — nothing quadratic, nothing driver-side.  The composed
+query has a full DuckDB twin built from the same per-operator SQL fragments
+(__spark_entry__.oracle_sql: q_dedup_exact / q_simhash / q_langid /
+q_quality), so the driver's two-engine check covers the composition, not
+just the parts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tabbyld_spark.operators.dedup import exact_dedup, simhash
+from tabbyld_spark.operators.textstats import language_id, quality_stats
+
+
+def prep_corpus(
+    docs: DataFrame,
+    lang: str = "en",
+    min_tokens: int = 20,
+    max_punct_ratio: float = 0.25,
+    min_stopword_ratio: float = 0.01,
+) -> DataFrame:
+    """→ survivors (doc_id, pred_lang, n_chars, n_tokens, punct_ratio,
+    stopword_ratio) after S1–S4.  Ratio columns are rounded for the
+    cross-engine compare; the gates cut on the raw values."""
+    d1 = exact_dedup(docs)
+    s1 = docs.join(
+        d1.filter(F.col("doc_id") == F.col("keep_id")).select("doc_id"), "doc_id"
+    )
+    sh = simhash(s1)
+    s2_keep = (
+        sh.withColumn(
+            "_keep", F.min("doc_id").over(Window.partitionBy("simhash"))
+        )
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .select("doc_id")
+    )
+    s2 = s1.join(s2_keep, "doc_id")
+    li = language_id(s2)
+    q = quality_stats(s2)
+    return (
+        q.join(li, "doc_id")
+        .filter(F.col("pred_lang") == lang)
+        .filter(F.col("n_tokens") >= min_tokens)
+        .filter(F.col("punct_ratio") <= max_punct_ratio)
+        .filter(F.col("stopword_ratio") >= min_stopword_ratio)
+        .select(
+            "doc_id",
+            "pred_lang",
+            "n_chars",
+            "n_tokens",
+            F.round("punct_ratio", 6).alias("punct_ratio"),
+            F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        )
+    )
