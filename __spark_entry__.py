@@ -526,6 +526,17 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing fingerprints (rolling-hash window minima, k=5 w=4) — the
+    guarantee-carrying document fingerprint (any shared substring of length
+    ≥ k+w−1 shares a fingerprint).  doc_id < 120 bounds the DuckDB twin's
+    lateral expansion."""
+    from tabbyld_spark.operators.textstats import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return winnow_fingerprints(d)
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-doc top-3 terms by smoothed tf-idf (deterministic tiebreak)."""
     from tabbyld_spark.operators.ranking import tf_idf
@@ -839,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality": q_quality,
         "q_langid": q_langid,
         "q_fingerprint": q_fingerprint,
+        "q_winnow": q_winnow,
         "q_tfidf_top_terms": q_tfidf_top_terms,
         "q_bm25": q_bm25,
         "q_media_meta": q_media_meta,
@@ -1276,6 +1288,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
             FROM documents
+        """,
+        "q_winnow": """
+            WITH norm AS (
+                SELECT doc_id,
+                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS n
+                FROM documents WHERE doc_id < 120
+            ),
+            g AS (
+                SELECT doc_id, i, md5(substring(n, CAST(i AS INT), 5)) AS h
+                FROM norm,
+                     LATERAL unnest(range(1, greatest(length(n) - 5 + 1, 1) + 1)) AS r(i)
+            ),
+            ng AS (SELECT doc_id, max(i) AS n_g FROM g GROUP BY doc_id),
+            win AS (
+                SELECT doc_id, j
+                FROM ng, LATERAL unnest(range(1, greatest(n_g - 4 + 1, 1) + 1)) AS r(j)
+            ),
+            wm AS (
+                SELECT w.doc_id, w.j, min(g.h) AS fp
+                FROM win w JOIN g ON g.doc_id = w.doc_id
+                              AND g.i BETWEEN w.j AND w.j + 3
+                GROUP BY w.doc_id, w.j
+            )
+            SELECT DISTINCT wm.doc_id, CAST(min(g.i) AS BIGINT) AS pos, wm.fp
+            FROM wm JOIN g ON g.doc_id = wm.doc_id AND g.h = wm.fp
+                          AND g.i BETWEEN wm.j AND wm.j + 3
+            GROUP BY wm.doc_id, wm.j, wm.fp
         """,
         "q_media_meta": """
             WITH g AS (

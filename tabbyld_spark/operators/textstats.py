@@ -96,3 +96,43 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     lower-cased text (portable across engines)."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 5, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken rolling-hash
+    window minima): hash every character k-gram of the normalized text,
+    slide a window of ``w`` gram hashes, keep each window's minimum —
+    → distinct (doc_id, pos, fp), with ``pos`` the 1-based gram offset of
+    the LEFTMOST minimal hash in its window (deterministic tiebreak).
+
+    Guarantees the classic winnowing property: any match of length
+    ≥ k + w − 1 between two documents shares at least one selected
+    fingerprint — the plagiarism/near-dup detection shape at corpus scale.
+    All columnar: two nested array transforms per document + one explode;
+    hashes are md5 hex strings so the min-order is identical in Spark and
+    the DuckDB twin (ASCII lexicographic)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    d = docs.select("doc_id", norm.alias("_n"))
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(_n) - {k} + 1, 1)),"
+        f" i -> md5(substring(_n, i, {k})))"
+    )
+    d = d.select("doc_id", grams.alias("_h"))
+    wins = F.expr(
+        f"transform(sequence(1, greatest(size(_h) - {w} + 1, 1)), j -> "
+        f"named_struct("
+        f"  'fp', array_min(slice(_h, j, {w})),"
+        f"  'pos', j - 1 + array_position(slice(_h, j, {w}),"
+        f"                                array_min(slice(_h, j, {w})))))"
+    )
+    return (
+        d.select("doc_id", F.explode(wins).alias("_w"))
+        .select(
+            "doc_id",
+            F.col("_w.pos").cast("long").alias("pos"),
+            F.col("_w.fp").alias("fp"),
+        )
+        .distinct()
+    )

@@ -59,3 +59,27 @@ def test_fingerprint_whitespace_invariant(spark):
     )
     fps = {r["doc_id"]: r["fp"] for r in fingerprint(df).collect()}
     assert fps[1] == fps[2] != fps[3]
+
+
+def test_winnow_guarantee_and_shape(spark):
+    # any shared substring of length >= k + w - 1 (= 8) shares a fingerprint
+    from tabbyld_spark.operators.textstats import winnow_fingerprints
+
+    common = "the quick brown fox jumps"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha {common} omega"),
+            (2, f"zzz {common} qqq entirely different tail here"),
+            (3, "no overlap with anything else at all"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs).cache()
+    a = {r["fp"] for r in fps.filter("doc_id = 1").collect()}
+    b = {r["fp"] for r in fps.filter("doc_id = 2").collect()}
+    c = {r["fp"] for r in fps.filter("doc_id = 3").collect()}
+    assert a & b, "docs sharing a long substring must share a fingerprint"
+    assert not (a & c) or len(a & c) < len(a & b)
+    # density: far fewer fingerprints than grams (that's the point)
+    n_grams = len("alpha " + common + " omega") - 5 + 1
+    assert 0 < fps.filter("doc_id = 1").count() < n_grams
