@@ -54,6 +54,7 @@ def main() -> None:
         "q_langid",
         "q_quality",
         "q_fingerprint",
+        "q_winnow",
         "q_cosine_topk",
         "q_ann_lsh",
         "q_connected_components",
