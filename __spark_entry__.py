@@ -537,6 +537,17 @@ def q_winnow(spark, sf_dir):
     return winnow_fingerprints(d)
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """Cross-document overlap candidates from shared winnowing fingerprints
+    (MOSS shape): inverted-index join on fp with a max_df boilerplate guard,
+    shared-count >= 2, containment-style overlap score.  Same doc_id < 120
+    bound as q_winnow to keep the DuckDB twin's lateral expansion cheap."""
+    from tabbyld_spark.operators.textstats import winnow_overlap_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return winnow_overlap_pairs(d)
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-doc top-3 terms by smoothed tf-idf (deterministic tiebreak)."""
     from tabbyld_spark.operators.ranking import tf_idf
@@ -851,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_langid": q_langid,
         "q_fingerprint": q_fingerprint,
         "q_winnow": q_winnow,
+        "q_winnow_pairs": q_winnow_pairs,
         "q_tfidf_top_terms": q_tfidf_top_terms,
         "q_bm25": q_bm25,
         "q_media_meta": q_media_meta,
@@ -1315,6 +1327,47 @@ def oracle_sql() -> dict[str, str]:
             FROM wm JOIN g ON g.doc_id = wm.doc_id AND g.h = wm.fp
                           AND g.i BETWEEN wm.j AND wm.j + 3
             GROUP BY wm.doc_id, wm.j, wm.fp
+        """,
+        "q_winnow_pairs": """
+            WITH norm AS (
+                SELECT doc_id,
+                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS n
+                FROM documents WHERE doc_id < 120
+            ),
+            g AS (
+                SELECT doc_id, i, md5(substring(n, CAST(i AS INT), 5)) AS h
+                FROM norm,
+                     LATERAL unnest(range(1, greatest(length(n) - 5 + 1, 1) + 1)) AS r(i)
+            ),
+            ng AS (SELECT doc_id, max(i) AS n_g FROM g GROUP BY doc_id),
+            win AS (
+                SELECT doc_id, j
+                FROM ng, LATERAL unnest(range(1, greatest(n_g - 4 + 1, 1) + 1)) AS r(j)
+            ),
+            fps AS (
+                SELECT DISTINCT w.doc_id, min(g.h) AS fp
+                FROM win w JOIN g ON g.doc_id = w.doc_id
+                              AND g.i BETWEEN w.j AND w.j + 3
+                GROUP BY w.doc_id, w.j
+            ),
+            dfc AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp),
+            kept AS (
+                SELECT f.doc_id, f.fp FROM fps f JOIN dfc USING (fp)
+                WHERE dfc.df <= 1000
+            ),
+            sz AS (SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY doc_id),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS shared
+                FROM kept a JOIN kept b
+                  ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT p.id_a, p.id_b, CAST(p.shared AS BIGINT) AS shared,
+                   round(p.shared / least(sa.n_fp, sb.n_fp), 6) AS overlap
+            FROM pairs p
+            JOIN sz sa ON sa.doc_id = p.id_a
+            JOIN sz sb ON sb.doc_id = p.id_b
         """,
         "q_media_meta": """
             WITH g AS (

@@ -55,6 +55,7 @@ def main() -> None:
         "q_quality",
         "q_fingerprint",
         "q_winnow",
+        "q_winnow_pairs",
         "q_cosine_topk",
         "q_ann_lsh",
         "q_connected_components",

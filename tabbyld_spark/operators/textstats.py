@@ -136,3 +136,59 @@ def winnow_fingerprints(
         )
         .distinct()
     )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document overlap candidates from shared winnowing fingerprints
+    (the MOSS shape): pairs (id_a < id_b) with ``shared`` = number of common
+    selected fingerprints ≥ ``min_shared``, plus ``overlap`` = shared /
+    min(|fps_a|, |fps_b|) — a containment-style score where 1.0 means one
+    document's surviving fingerprint set is fully inside the other's.
+
+    Scale path: inverted-index equi-join on fp (only docs sharing a
+    fingerprint ever meet — never all-pairs), with ``max_df`` dropping
+    boilerplate fingerprints present in more than max_df documents before the
+    join (same skew guard as ngram_jaccard_pairs; a fingerprint in d docs
+    would otherwise emit d² join rows).  Per-doc sizes are counted AFTER the
+    max_df filter so ``overlap`` is containment over the retained set — the
+    DuckDB twin mirrors this.  Shuffles: one per-doc distinct, one df count,
+    one fp-keyed join, one pair groupBy — all key-partitioned, no driver
+    collection."""
+    fps = winnow_fingerprints(docs, k, w, text_col).select("doc_id", "fp").distinct()
+    df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+    fps = fps.join(df_counts.filter(F.col("_df") <= max_df), "fp").select(
+        "doc_id", "fp"
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("_sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("shared").cast("long").alias("shared"),
+            F.round(F.col("shared") / F.least("_sa", "_sb"), 6).alias("overlap"),
+        )
+    )

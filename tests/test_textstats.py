@@ -83,3 +83,39 @@ def test_winnow_guarantee_and_shape(spark):
     # density: far fewer fingerprints than grams (that's the point)
     n_grams = len("alpha " + common + " omega") - 5 + 1
     assert 0 < fps.filter("doc_id = 1").count() < n_grams
+
+
+def test_winnow_overlap_pairs(spark):
+    from tabbyld_spark.operators.textstats import winnow_overlap_pairs
+
+    common = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha {common} omega"),
+            (2, f"zzz {common} qqq entirely different tail here"),
+            (3, "no overlap with anything else at all"),
+            (4, f"alpha {common} omega"),  # exact duplicate of 1
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["shared"], r["overlap"])
+        for r in winnow_overlap_pairs(docs).collect()
+    }
+    assert (1, 2) in pairs, "docs sharing a long run must pair"
+    assert (1, 4) in pairs and pairs[(1, 4)][1] == 1.0, "exact dup => overlap 1.0"
+    assert not any(3 in p for p in pairs), "unrelated doc must not pair"
+    for shared, overlap in pairs.values():
+        assert shared >= 2 and 0.0 < overlap <= 1.0
+
+
+def test_winnow_overlap_max_df_guard(spark):
+    # a fingerprint present in > max_df docs is boilerplate: dropped pre-join
+    from tabbyld_spark.operators.textstats import winnow_overlap_pairs
+
+    text = "identical boilerplate text shared by every single document here"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(1, 4)], "doc_id long, text string"
+    )
+    assert winnow_overlap_pairs(docs, max_df=1).count() == 0
+    assert winnow_overlap_pairs(docs, max_df=3).count() == 3  # all C(3,2) pairs
