@@ -130,6 +130,27 @@ def run_audit(spark, sf: str = "/root/testdata/sf0.01") -> list[tuple[str, bool,
             "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
             "gold side broadcasts; no sort-merge in the reader plan",
         )
+
+    # 6. winnow overlap pairs: pure JVM expressions (zero Python evaluators)
+    # and inverted-index equi-joins only — an all-pairs plan (cartesian /
+    # nested-loop) here means the max_df skew guard or the fp key got lost
+    from tabbyld_spark.operators.textstats import winnow_overlap_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} shares this common boilerplate run") for i in range(20)],
+        "doc_id long, text string",
+    )
+    p = plan_of(winnow_overlap_pairs(docs))
+    check(
+        "jvm-only/winnow-pairs",
+        "EvalPython" not in p and "MapInPandas" not in p,
+        "no Python evaluator anywhere in the overlap plan",
+    )
+    check(
+        "no-all-pairs/winnow-pairs",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+        "fp equi-join only; no cartesian/nested-loop operator",
+    )
     return results
 
 
