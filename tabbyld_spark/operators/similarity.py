@@ -61,19 +61,47 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return planes
 
 
-def _assign_centroid(
-    df: DataFrame, cents: DataFrame, vec_col: str, key_col: str
-) -> DataFrame:
-    """Nearest centroid per row via broadcast cross join + window argmin
-    (centroid table is tiny by construction — it always broadcasts)."""
-    joined = df.crossJoin(F.broadcast(cents)).withColumn(
-        "_cos", cosine(vec_col, "c_vec")
+def _centroid_array(cents: DataFrame) -> DataFrame:
+    """Fold the (tiny by construction) centroid table into ONE row holding
+    array<struct<centroid,c_vec>> sorted by centroid id — broadcast-joining
+    this single row attaches the whole codebook to every corpus row with no
+    shuffle and no row blowup."""
+    return cents.agg(
+        F.array_sort(F.collect_list(F.struct("centroid", "c_vec"))).alias("_cents")
     )
-    w = Window.partitionBy(key_col).orderBy(F.desc("_cos"), F.asc("centroid"))
+
+
+def _scored_centroids(vec_col: str) -> "F.Column":
+    """array<struct<centroid, cos>> — cosine of the row vector against every
+    centroid, computed inside whole-stage codegen."""
+    return F.transform(
+        F.col("_cents"),
+        lambda s: F.struct(
+            s["centroid"].cast("long").alias("centroid"),
+            cosine(F.col(vec_col), s["c_vec"]).alias("cos"),
+        ),
+    )
+
+
+def _assign_centroid(df: DataFrame, cents: DataFrame, vec_col: str) -> DataFrame:
+    """Nearest centroid per row, entirely in-expression: argmax over the
+    broadcast codebook array (ties → lowest centroid id, matching the old
+    window's (cos desc, centroid asc) order).  Zero exchanges in the
+    assignment subtree — the previous crossJoin+window shape materialized
+    |corpus| × n_centroids rows through a hash exchange per Lloyd iteration,
+    which at 10^9 vectors × 16 centroids is a 16-billion-row shuffle for a
+    per-row argmax."""
+    best = F.aggregate(
+        _scored_centroids(vec_col),
+        F.struct(
+            F.lit(-1).cast("long").alias("centroid"), F.lit(-2.0).alias("cos")
+        ),
+        lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc),
+    )
     return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_cos", "c_vec")
+        df.crossJoin(F.broadcast(_centroid_array(cents)))
+        .withColumn("centroid", best["centroid"])
+        .drop("_cents")
     )
 
 
@@ -112,7 +140,7 @@ def ivf_topk(
     cents = seeds
     for _ in range(n_iter):
         assigned = _assign_centroid(
-            c.withColumnRenamed("cv", vec_col), cents, vec_col, "neighbor_id"
+            c.withColumnRenamed("cv", vec_col), cents, vec_col
         )
         # element-wise mean per centroid: posexplode → mean per coordinate →
         # rebuild the array in coordinate order.  The sum runs over an exact
@@ -140,20 +168,30 @@ def ivf_topk(
             )
         )
     inv = _assign_centroid(
-        c.withColumnRenamed("cv", vec_col), cents, vec_col, "neighbor_id"
+        c.withColumnRenamed("cv", vec_col), cents, vec_col
     ).select("neighbor_id", F.col(vec_col).alias("cv"), "centroid")
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("_cos", cosine("qv", "c_vec"))
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("centroid"))
+    # top-n_probe cells per query, also in-expression: score every centroid,
+    # sort by (cos desc, centroid asc) via a (-cos, centroid) sort key, keep
+    # the first n_probe — no window exchange on the query side either
+    probe_cells = F.transform(
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    _scored_centroids("qv"),
+                    lambda s: F.struct(
+                        (-s["cos"]).alias("neg"), s["centroid"].alias("centroid")
+                    ),
+                )
             ),
-        )
-        .filter(F.col("_rn") <= n_probe)
-        .select("query_id", "qv", "centroid")
+            1,
+            n_probe,
+        ),
+        lambda s: s["centroid"],
+    )
+    probes = (
+        q.crossJoin(F.broadcast(_centroid_array(cents)))
+        .select("query_id", "qv", F.explode(probe_cells).alias("centroid"))
     )
     scored = (
         probes.join(inv, "centroid")

@@ -151,6 +151,21 @@ def run_audit(spark, sf: str = "/root/testdata/sf0.01") -> list[tuple[str, bool,
         "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
         "fp equi-join only; no cartesian/nested-loop operator",
     )
+
+    # 7. IVF centroid assignment stays in-expression: the ONLY exchanges in
+    # the assignment subtree are the single-row codebook broadcasts — a hash
+    # exchange per Lloyd iteration means the crossJoin+window argmin shape
+    # crept back (|corpus| × n_centroids rows shuffled per iteration at scale)
+    from tabbyld_spark.operators.similarity import _assign_centroid
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").limit(200)
+    cents = emb.selectExpr("vec_id as centroid", "embedding as c_vec").limit(4)
+    p = plan_of(_assign_centroid(emb.selectExpr("vec_id", "embedding"), cents, "embedding"))
+    check(
+        "no-shuffle/ivf-assign",
+        "Exchange hashpartitioning" not in p and "Window" not in p,
+        "centroid argmax is in-expression; no hash exchange or window in the assignment subtree",
+    )
     return results
 
 
