@@ -26,11 +26,10 @@ from tabbyld_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_t
 from tabbyld_spark.operators.textstats import (
     STOPWORDS,
     TOKEN_RE,
-    fingerprint,
+    TRIGRAM_PROFILES,
     language_id,
+    ngram_language_id,
     quality_stats,
-    regex_token_count,
-    token_count,
     tokens,
 )
 
@@ -381,37 +380,6 @@ def q_agg_rank(spark, sf_dir):
     return _sti_scored(spark).select(*_STI_KEY, F.round("agg_rank", 6).alias("agg_rank"))
 
 
-def q_sti_cea_exact(spark, sf_dir):
-    """Flagship CEA on the exact/provided-NER path (fuzzy LSH off — the
-    SQL-expressible configuration), full chain from the canonical fixture:
-    mentions → candidates → five features → aggregation → argmax + literals."""
-    from tabbyld_spark.plans.pipeline import annotate_canonical
-
-    kg = {
-        name: _sti_t(spark, name)
-        for name in ("kg_labels", "kg_types", "kg_subclass", "kg_triples")
-    }
-    res = annotate_canonical(
-        _sti_t(spark, "canonical"), kg, provided_ner=True, fuzzy_enabled=False
-    )
-    return res.cea.select(*_STI_KEY, F.round("agg_rank", 6).alias("agg_rank"))
-
-
-def q_sti_triples_exact(spark, sf_dir):
-    """Full exact-path chain THROUGH triple emission: CEA + CTA/CPA voting +
-    (subj, pred, obj) formatting, all with a DuckDB twin."""
-    from tabbyld_spark.plans.pipeline import annotate_canonical
-
-    kg = {
-        name: _sti_t(spark, name)
-        for name in ("kg_labels", "kg_types", "kg_subclass", "kg_triples")
-    }
-    res = annotate_canonical(
-        _sti_t(spark, "canonical"), kg, provided_ner=True, fuzzy_enabled=False
-    )
-    return res.triples
-
-
 def q_annotate_rows(spark, sf_dir):
     """P21: annotated-row materialization (URI substitution + multi-value
     repack) over the exact-path CEA — DuckDB twin included."""
@@ -481,33 +449,21 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
-def q_ngram_jaccard(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return ngram_jaccard_pairs(d, n=3, threshold=0.18).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    )
-
-
 def q_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     return simhash(d).withColumn("simhash", F.col("simhash").cast("long"))
 
 
-def q_token_stats(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        token_count("text").cast("long").alias("n_ws_tokens"),
-        regex_token_count("text").cast("long").alias("n_re_tokens"),
-    )
-
-
 def q_quality(spark, sf_dir):
+    """Quality stats + token counting in one surface: quality_stats ratios
+    plus both tokenizer counts (whitespace n_tokens = token_count operator,
+    n_re_tokens = the BPE-ish regex tokenizer)."""
     q = quality_stats(_t(spark, sf_dir, "documents"))
     return q.select(
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_re_tokens").cast("long").alias("n_re_tokens"),
         F.round("chars_per_token", 6).alias("chars_per_token"),
         F.round("punct_ratio", 6).alias("punct_ratio"),
         F.round("stopword_ratio", 6).alias("stopword_ratio"),
@@ -522,8 +478,11 @@ def q_langid(spark, sf_dir):
     )
 
 
-def q_fingerprint(spark, sf_dir):
-    return fingerprint(_t(spark, sf_dir, "documents"))
+def q_langid_ngram(spark, sf_dir):
+    out = ngram_language_id(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "pred_lang_ngram", F.col("tri_hits").cast("long").alias("tri_hits")
+    )
 
 
 def q_winnow(spark, sf_dir):
@@ -687,7 +646,8 @@ def q_minhash_pairs(spark, sf_dir):
     inherently approximate surface): every exact word-3-gram-Jaccard pair at
     >= 0.18 must be recovered by the MinHash band-bucket join at distance
     <= 0.85 (sim >= 0.15, i.e. with margin below the exact threshold).  The
-    exact denominator is the q_ngram_jaccard computation (SQL-twinned); the
+    exact denominator is the ngram_jaccard_pairs operator (SQL-twinned —
+    its exact jaccard values are asserted by this same contract row); the
     ``found`` flag is computed against the live MinHash result, so a banding/
     seed/recall regression flips it to false and the driver's value-hash
     compare catches it.  The raw approximate pair set stays pytest-gated
@@ -736,34 +696,30 @@ def _ann_recall_contract(exact: DataFrame, approx: DataFrame, floor: float) -> D
     )
 
 
-def q_ann_lsh(spark, sf_dir):
-    """Hyperplane-LSH ANN recall contract: per query, the brute-force top-5
-    (oracled in q_cosine_topk) is the denominator and recall_ok asserts the
-    deterministic LSH shortlist recovers >= 60% of it.  A plane/seed/banding
-    regression flips recall_ok → driver hash mismatch."""
+def q_ann_recall(spark, sf_dir):
+    """ANN recall contracts for BOTH approximate indexes in one surface
+    (method ∈ {ivf, lsh}): per query, the brute-force top-5 (oracled in
+    q_cosine_topk) is the denominator and recall_ok asserts the deterministic
+    shortlist recovers >= 60% of it.  A plane/seed/banding/centroid
+    regression flips recall_ok → driver hash mismatch.
+
+    LSH runs recall-oriented banding (8 bands x 2 bits: P(candidate) =
+    1-(1-p^2)^8, >= 97% for the cosine range of true top-5 neighbours here;
+    measured min per-query recall 0.8 at sf0.01 — bench.py times the
+    throughput-oriented 3x4 banding).  IVF probes 6 of 8 k-means cells
+    (measured min per-query recall 0.8 at sf0.001 and sf0.01); ivf with
+    n_probe == n_centroids is additionally pinned to the brute-force oracle
+    in tests/test_similarity.py."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     exact = brute_force_topk(e, q, k=5)
-    # recall-oriented banding for the contract: 8 bands x 2 bits gives
-    # P(candidate) = 1-(1-p^2)^8 -- >= 97% for the cosine range of true
-    # top-5 neighbours here (measured min per-query recall 0.8 at sf0.01;
-    # the default 3x4 banding is the throughput-oriented shape and is what
-    # bench.py times)
-    approx = lsh_topk(e, q, k=5, n_planes=16, n_bands=8, dim=64)
-    return _ann_recall_contract(exact, approx, _LSH_RECALL_FLOOR)
-
-
-def q_ann_ivf(spark, sf_dir):
-    """IVF ANN recall contract (k-means coarse quantizer, 6 of 8 cells
-    probed — measured min per-query recall 0.8 at both sf0.001 and sf0.01;
-    4 probes dips to 0.4 on the smaller table's centroid layout): same shape
-    as q_ann_lsh; ivf with n_probe == n_centroids is additionally pinned to
-    the brute-force oracle in tests/test_similarity.py."""
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 10)
-    exact = brute_force_topk(e, q, k=5)
-    approx = ivf_topk(e, q, k=5, n_centroids=8, n_probe=6)
-    return _ann_recall_contract(exact, approx, _IVF_RECALL_FLOOR)
+    lsh = _ann_recall_contract(
+        exact, lsh_topk(e, q, k=5, n_planes=16, n_bands=8, dim=64), _LSH_RECALL_FLOOR
+    ).select(F.lit("lsh").alias("method"), "query_id", "n_exact", "recall_ok")
+    ivf = _ann_recall_contract(
+        exact, ivf_topk(e, q, k=5, n_centroids=8, n_probe=6), _IVF_RECALL_FLOOR
+    ).select(F.lit("ivf").alias("method"), "query_id", "n_exact", "recall_ok")
+    return ivf.unionByName(lsh)
 
 
 def _sti_both_paths(spark):
@@ -783,11 +739,12 @@ def _sti_both_paths(spark):
 
 
 def q_sti_cea(spark, sf_dir):
-    """Fuzzy-candidate CEA superset contract (VERDICT r2 task 4): the fuzzy
-    LSH branch only ADDS candidates, so every cell annotated on the exact
-    path must still be annotated with fuzzy on.  Emits the exact-path CEA
-    rows (SQL-twinned — same chain as q_sti_cea_exact) plus ``covered`` =
-    the fuzzy run annotates this cell.  Winner identity/rank is NOT asserted
+    """Exact-path CEA (full winner rows, SQL-twinned end-to-end through
+    mentions → candidates → five features → aggregate → top-1) PLUS the
+    fuzzy-candidate superset contract (VERDICT r2 task 4): the fuzzy LSH
+    branch only ADDS candidates, so every cell annotated on the exact path
+    must still be annotated with fuzzy on — ``covered`` is computed live
+    against the fuzzy run.  Winner identity/rank is NOT asserted under fuzzy
     (adding candidates legitimately changes the P16 vote pool); the raw
     fuzzy output's P/R >= 0.95 gate lives in tests/test_e2e.py."""
     exact, fuzzy = _sti_both_paths(spark)
@@ -805,18 +762,16 @@ def q_sti_cea(spark, sf_dir):
 
 
 def q_sti_triples(spark, sf_dir):
-    """Fuzzy-path triple coverage contract: every SUBJECT the exact path
-    emits triples for must also receive triples with fuzzy candidates on
-    (cells keep >= 1 candidate when candidates are added; the specific
-    object may legitimately change with the P16 vote pool).  Exact-path
-    subjects are SQL-twinned via the q_sti_triples_exact chain."""
+    """Exact-path triple emission (full (subj, pred, obj) set, SQL-twinned
+    end-to-end) PLUS the fuzzy-path coverage contract: every subject the
+    exact path emits triples for must also receive triples with fuzzy
+    candidates on (cells keep >= 1 candidate when candidates are added; the
+    specific object may legitimately change with the P16 vote pool), so
+    ``covered`` is computed live against the fuzzy run."""
     exact, fuzzy = _sti_both_paths(spark)
     fz = fuzzy.triples.select("subj").distinct().withColumn("_f", F.lit(True))
-    return (
-        exact.triples.select("subj")
-        .distinct()
-        .join(fz, "subj", "left")
-        .select("subj", F.coalesce("_f", F.lit(False)).alias("covered"))
+    return exact.triples.join(fz, "subj", "left").select(
+        "subj", "pred", "obj", F.coalesce("_f", F.lit(False)).alias("covered")
     )
 
 
@@ -848,19 +803,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_similarity": q_semantic_similarity,
         "q_relationship_rank": q_relationship_rank,
         "q_agg_rank": q_agg_rank,
-        "q_sti_cea_exact": q_sti_cea_exact,
-        "q_sti_triples_exact": q_sti_triples_exact,
         "q_annotate_rows": q_annotate_rows,
         "q_gold_cta": q_gold_cta,
         "q_gold_cpa": q_gold_cpa,
         "q_dataprep": q_dataprep,
         "q_dedup_exact": q_dedup_exact,
-        "q_ngram_jaccard": q_ngram_jaccard,
         "q_simhash": q_simhash,
-        "q_token_stats": q_token_stats,
         "q_quality": q_quality,
         "q_langid": q_langid,
-        "q_fingerprint": q_fingerprint,
+        "q_langid_ngram": q_langid_ngram,
         "q_winnow": q_winnow,
         "q_winnow_pairs": q_winnow_pairs,
         "q_tfidf_top_terms": q_tfidf_top_terms,
@@ -872,8 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_closure": q_closure,
         "q_connected_components": q_connected_components,
         "q_minhash_pairs": q_minhash_pairs,
-        "q_ann_lsh": q_ann_lsh,
-        "q_ann_ivf": q_ann_ivf,
+        "q_ann_recall": q_ann_recall,
         "q_sti_cea": q_sti_cea,
         "q_sti_triples": q_sti_triples,
     }
@@ -885,8 +835,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
 
-# Shared exact word-3-gram Jaccard pair CTEs (documents, doc_id < 200):
-# the q_ngram_jaccard result and the q_minhash_pairs contract denominator.
+# Exact word-3-gram Jaccard pair CTEs (documents, doc_id < 200): the
+# q_minhash_pairs denominator — the twin of operators.dedup.ngram_jaccard_pairs,
+# whose exact values the contract re-emits alongside the coverage flag.
 _JACCARD_CTES = """
             WITH toks AS (
                 SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
@@ -950,6 +901,16 @@ def oracle_sql() -> dict[str, str]:
         f"count(*) FILTER (WHERE lower(tok) IN ({_stop_list(lang)})) AS hits "
         f"FROM toks GROUP BY doc_id"
         for lang in langs
+    )
+
+    def _tri_list(lang: str) -> str:
+        return ", ".join("'" + g.replace("'", "''") + "'" for g in TRIGRAM_PROFILES[lang])
+
+    tri_hits = "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{lang}' AS lang, "
+        f"count(*) FILTER (WHERE gram IN ({_tri_list(lang)})) AS hits "
+        f"FROM g GROUP BY doc_id"
+        for lang in sorted(TRIGRAM_PROFILES)
     )
     from tabbyld_spark.fixtures.gold_fixture import ensure_gold_fixture
 
@@ -1209,19 +1170,10 @@ def oracle_sql() -> dict[str, str]:
                        md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
                 FROM documents
             )
-            SELECT doc_id,
+            SELECT doc_id, f AS fp,
                    min(doc_id) OVER (PARTITION BY f) AS keep_id,
                    CAST(count(*) OVER (PARTITION BY f) AS BIGINT) AS group_size
             FROM fp
-        """,
-        "q_ngram_jaccard": f"""
-            {_JACCARD_CTES}
-            SELECT id_a, id_b,
-                   round(i / (sa.sz + sb.sz - i), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE i / (sa.sz + sb.sz - i) >= 0.18
         """,
         # contract twin of the approximate MinHash surface: same exact-Jaccard
         # denominator, covered-by-MinHash asserted true (see q_minhash_pairs)
@@ -1235,8 +1187,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE i / (sa.sz + sb.sz - i) >= 0.18
         """,
-        "q_ann_lsh": _ANN_RECALL_ORACLE,
-        "q_ann_ivf": _ANN_RECALL_ORACLE,
+        # one contract row set per approximate index: methods are a literal
+        # cross join over the shared brute-force denominator
+        "q_ann_recall": f"""
+            WITH contract AS ({_ANN_RECALL_ORACLE})
+            SELECT m.method, c.query_id, c.n_exact, c.recall_ok
+            FROM contract c CROSS JOIN (VALUES ('ivf'), ('lsh')) AS m(method)
+        """,
         "q_simhash": f"""
             WITH tok AS (
                 SELECT doc_id, md5(tok) AS h
@@ -1259,23 +1216,19 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(power(2.0, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
             FROM votes GROUP BY doc_id
         """,
-        "q_token_stats": f"""
-            SELECT doc_id,
-                   CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_ws_tokens,
-                   CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_re_tokens
-            FROM documents
-        """,
         "q_quality": f"""
             WITH base AS (
                 SELECT doc_id,
                        length(text) AS n_chars,
                        {_TOKENS_SQL} AS t,
+                       len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_re,
                        length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct
                 FROM documents
             )
             SELECT doc_id,
                    CAST(n_chars AS BIGINT) AS n_chars,
                    CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(n_re AS BIGINT) AS n_re_tokens,
                    round(n_chars / len(t), 6) AS chars_per_token,
                    round(punct / n_chars, 6) AS punct_ratio,
                    round(len(list_filter(t, x -> lower(x) IN ({_stop_list('en')}))) / len(t), 6) AS stopword_ratio,
@@ -1296,10 +1249,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang AS pred_lang, CAST(hits AS BIGINT) AS stop_hits
             FROM ranked WHERE rn = 1
         """,
-        "q_fingerprint": """
-            SELECT doc_id,
-                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
-            FROM documents
+        "q_langid_ngram": f"""
+            WITH norm AS (
+                SELECT doc_id,
+                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS n
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, substring(n, CAST(i AS INT), 3) AS gram
+                FROM norm,
+                     LATERAL unnest(range(1, greatest(length(n) - 2, 1) + 1)) AS r(i)
+            ),
+            hits AS ({tri_hits}),
+            ranked AS (
+                SELECT doc_id, lang, hits,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY hits DESC, lang ASC) AS rn
+                FROM hits
+            )
+            SELECT doc_id, lang AS pred_lang_ngram, CAST(hits AS BIGINT) AS tri_hits
+            FROM ranked WHERE rn = 1
         """,
         "q_winnow": """
             WITH norm AS (

@@ -52,6 +52,7 @@ def main() -> None:
         "q_ngram_jaccard",
         "q_simhash",
         "q_langid",
+        "q_langid_ngram",
         "q_quality",
         "q_fingerprint",
         "q_winnow",
@@ -74,8 +75,27 @@ def main() -> None:
         e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5, dim=64)
 
+    def _ngram_jaccard_workload(spark, sf_dir):
+        # kept as a timed workload after the registry entry merged into the
+        # q_minhash_pairs contract (same computation is its exact denominator)
+        from pyspark.sql import functions as F
+
+        from tabbyld_spark.operators.dedup import ngram_jaccard_pairs
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 200)
+        return ngram_jaccard_pairs(d, n=3, threshold=0.18)
+
+    def _fingerprint_workload(spark, sf_dir):
+        # registry entry merged into q_dedup_exact's fp column; the bench
+        # series keeps timing the standalone fingerprint operator
+        from tabbyld_spark.operators.textstats import fingerprint
+
+        return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
     workloads = dict(registry)
     workloads["q_ann_lsh"] = _ann_lsh_workload
+    workloads["q_ngram_jaccard"] = _ngram_jaccard_workload
+    workloads["q_fingerprint"] = _fingerprint_workload
     times: dict[str, float] = {}
     for name in qnames:
         fn = workloads[name]

@@ -447,28 +447,13 @@ def sti_oracle_queries(fx: str) -> dict[str, str]:
             WITH {cand_src}, {_agg_ctes(canon)}
             SELECT {_KEYCOLS}, round(agg_rank, 6) AS agg_rank FROM agged
         """,
-        "q_sti_cea_exact": f"""
-            WITH {_fx_tables(fx, 'kg_labels', 'kg_types', 'kg_subclass', 'kg_triples')},
-            {sql_mentions(canon)},
-            {sql_candidates('kg_labels')},
-            {_cea_ctes(canon)}
-            SELECT table_id, col_role, mention, entity,
-                   round(agg_rank, 6) AS agg_rank
-            FROM cea
-        """,
-        "q_sti_triples_exact": f"""
-            WITH {_fx_tables(fx, 'kg_labels', 'kg_types', 'kg_subclass', 'kg_triples')},
-            {sql_mentions(canon)},
-            {sql_candidates('kg_labels')},
-            {_cea_ctes(canon)},
-            {_triples_ctes(canon)}
-            SELECT subj, pred, obj FROM triples
-        """,
-        # Fuzzy-path contract twins (__spark_entry__.q_sti_cea / q_sti_triples):
-        # the Spark side emits the EXACT-path rows plus a live coverage flag
-        # computed against the fuzzy run; the oracle asserts the same exact
-        # rows with covered = true — so a fuzzy-branch regression that drops
-        # an exact-path cell flips the flag and the driver hash-compare fails.
+        # Exact-path results + fuzzy-path contract twins
+        # (__spark_entry__.q_sti_cea / q_sti_triples): the Spark side emits
+        # the full EXACT-path rows (SQL-twinned end-to-end) plus a live
+        # coverage flag computed against the fuzzy run; the oracle asserts
+        # the same exact rows with covered = true — so either an exact-chain
+        # regression OR a fuzzy-branch regression that drops an exact-path
+        # cell flips a value and the driver hash-compare fails.
         "q_sti_cea": f"""
             WITH {_fx_tables(fx, 'kg_labels', 'kg_types', 'kg_subclass', 'kg_triples')},
             {sql_mentions(canon)},
@@ -485,7 +470,7 @@ def sti_oracle_queries(fx: str) -> dict[str, str]:
             {sql_candidates('kg_labels')},
             {_cea_ctes(canon)},
             {_triples_ctes(canon)}
-            SELECT DISTINCT subj, true AS covered FROM triples
+            SELECT subj, pred, obj, true AS covered FROM triples
         """,
         "q_annotate_rows": f"""
             WITH {_fx_tables(fx, 'kg_labels', 'kg_types', 'kg_subclass', 'kg_triples')},

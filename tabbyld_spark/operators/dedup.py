@@ -22,15 +22,17 @@ from tabbyld_spark.operators.textstats import tokens
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """→ (doc_id, keep_id, group_size): every doc mapped to the minimum id of
-    its exact-duplicate group (survivors have doc_id == keep_id)."""
+    """→ (doc_id, fp, keep_id, group_size): every doc mapped to the minimum id
+    of its exact-duplicate group (survivors have doc_id == keep_id).  ``fp``
+    is the md5 content fingerprint the grouping keys on (also the document
+    fingerprint surface — same normalization as streaming.stateful)."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    w = Window.partitionBy("_fp")
+    w = Window.partitionBy("fp")
     return (
-        docs.select(id_col, F.md5(norm).alias("_fp"))
+        docs.select(id_col, F.md5(norm).alias("fp"))
         .withColumn("keep_id", F.min(id_col).over(w))
         .withColumn("group_size", F.count(F.lit(1)).over(w))
-        .select(id_col, "keep_id", "group_size")
+        .select(id_col, "fp", "keep_id", "group_size")
     )
 
 
@@ -115,35 +117,47 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str
     """Portable 32-bit SimHash: per token, bit j comes from hex digit
     j//4 of md5(token); the document bit is the sign of the per-bit vote sum.
     Pure integer/string builtins → identical in Spark and the DuckDB oracle.
-    """
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok")
-    ).withColumn("h", F.md5("tok"))
-    bit = (
-        tok.select(
-            "doc_id",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+
+    One whole-stage-codegen pass per document — the per-token bit votes fold
+    into a ``bits``-length array accumulator inside ``aggregate``, so there
+    is NO token explode, NO (doc_id, bit) shuffle, and no shuffle at all
+    (the previous shape exploded tokens × 32 bits through a hash exchange —
+    ~32× the rows it needed)."""
+
+    def bitvec(h):
+        # per-token ±1 vote vector: digit = hex value of md5 nibble j//4,
+        # bit j = (digit >> (3 - j%4)) & 1, expressed via the same
+        # floor/power arithmetic as the DuckDB twin for bit-identical results
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda j: (
+                F.floor(
+                    F.conv(h.substr(F.floor(j / 4).cast("int") + 1, F.lit(1)), 16, 10).cast("long")
+                    / F.pow(F.lit(2.0), F.lit(3) - j % 4)
+                ).cast("long")
+                % 2
+            )
+            * 2
+            - 1,
         )
-        .withColumn(
-            "digit",
-            F.expr(
-                "instr('0123456789abcdef', substring(h, cast(j / 4 as int) + 1, 1)) - 1"
+
+    votes = F.aggregate(
+        F.transform(tokens(text_col), lambda t: F.md5(t)),
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(acc, bitvec(h), lambda a, v: a + v),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, j: F.when(v > 0, F.pow(F.lit(2.0), j).cast("long")).otherwise(
+                F.lit(0).cast("long")
             ),
-        )
-        .withColumn(
-            "bit",
-            F.expr("cast(floor(digit / power(2.0, 3 - j % 4)) as bigint) % 2"),
-        )
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
-    votes = bit.groupBy("doc_id", "j").agg(
-        F.sum(F.col("bit") * 2 - 1).alias("vote")
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("vote") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long")).otherwise(0)
-        ).alias("simhash")
-    )
+    return docs.select(F.col(id_col).alias("doc_id"), sim.alias("simhash"))
 
 
 def embedding_dedup_pairs(
@@ -207,12 +221,17 @@ def embedding_dedup_pairs_blocked(
     )
     a = banded.select("band", "bucket", F.col("vid").alias("id_a"), F.col("v").alias("va"))
     b = banded.select("band", "bucket", F.col("vid").alias("id_b"), F.col("v").alias("vb"))
+    # rescore BEFORE the distinct and threshold-filter first: the dedup
+    # exchange then carries only (id_a, id_b, cos) scalars for the rare
+    # surviving near-dup pairs — never the embedding arrays (shuffling full
+    # vectors through the distinct was ~dim×8 bytes per candidate pair).  A
+    # pair sharing multiple bands pays the cosine once per shared band —
+    # codegen CPU, traded against shuffle bytes, the right side at scale.
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
-        .distinct()
         .withColumn("cos", cosine("va", "vb"))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
+        .distinct()
     )

@@ -37,8 +37,9 @@ def regex_token_count(col: Column | str) -> Column:
 
 
 def quality_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document quality features: char/token counts, mean token length,
-    punctuation ratio, stopword ratio (en), distinct-token ratio."""
+    """Per-document quality features: char/token counts (whitespace AND the
+    BPE-ish regex tokenizer), mean token length, punctuation ratio, stopword
+    ratio (en), distinct-token ratio — one codegen span, no join."""
     t = tokens(text_col)
     n_chars = F.length(text_col)
     n_tokens = F.size(t)
@@ -50,6 +51,7 @@ def quality_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
+        regex_token_count(text_col).alias("n_re_tokens"),
         (n_chars / n_tokens).alias("chars_per_token"),
         (punct / n_chars).alias("punct_ratio"),
         (stop_hits / n_tokens).alias("stopword_ratio"),
@@ -88,6 +90,59 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return docs.select(
         "doc_id", best["lang"].alias("pred_lang"), best["hits"].alias("stop_hits")
+    )
+
+
+# Most-frequent char trigrams per language (Cavnar & Trenkle-style n-gram
+# profiles; space-padded grams carry word-boundary signal).  Latin-script
+# languages only — single-char-token scripts (zh) stay with the stopword
+# operator above, whose profile is per-character already.
+TRIGRAM_PROFILES = {
+    "en": [" th", "the", "he ", " an", "and", "nd ", "ing", "ng ", " of",
+           "of ", "ion", " to", "to ", "ent", " in", "ed "],
+    "de": ["er ", "en ", " de", "der", "ie ", "ch ", "sch", "ein", " ei",
+           "ich", "nde", "die", "und", " un", "ung", "cht"],
+    "fr": [" de", "de ", "es ", "le ", " le", "que", " qu", "ue ", "la ",
+           " la", "ait", "re ", " pa", "ais", "eur", "ux "],
+    "es": [" de", "de ", "os ", " la", "la ", "el ", " el", "que", " qu",
+           "ue ", " en", "ión", "ado", "ar ", " co", "cio"],
+}
+
+
+def ngram_language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Char-trigram language ID (profile-hit voting): normalize whitespace,
+    lower-case, slide a 3-char window, count hits against each language's
+    trigram profile, argmax with deterministic tiebreak (lang asc).  All
+    column expressions — one codegen span per batch; the profile lists are
+    compile-time literals, so the filter predicates fold into the generated
+    code (no join, no UDF).  Twin: oracle_sql()['q_langid_ngram']."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - 2, F.lit(1))),
+        lambda i: norm.substr(i, F.lit(3)),
+    )
+    d = docs.withColumn("_g", grams)
+
+    def _hits(prof: list[str]):
+        return F.size(F.filter(F.col("_g"), lambda g: g.isin(*prof)))
+
+    scores = [
+        F.struct(_hits(prof).alias("hits"), F.lit(lang).alias("lang"))
+        for lang, prof in sorted(TRIGRAM_PROFILES.items())
+    ]
+    best = F.aggregate(
+        F.array(*scores),
+        F.struct(F.lit(-1).alias("hits"), F.lit("zz").alias("lang")),
+        lambda acc, s: F.when(
+            (s["hits"] > acc["hits"])
+            | ((s["hits"] == acc["hits"]) & (s["lang"] < acc["lang"])),
+            s,
+        ).otherwise(acc),
+    )
+    return d.select(
+        "doc_id",
+        best["lang"].alias("pred_lang_ngram"),
+        best["hits"].alias("tri_hits"),
     )
 
 

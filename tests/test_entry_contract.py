@@ -60,19 +60,16 @@ def test_query_matches_oracle(spark, con, name):
         raise AssertionError(f"{name}: value mismatch\nspark-only={diff_a}\nduck-only={diff_b}")
 
 
-def test_all_queries_have_oracle_or_are_marked():
+def test_every_query_has_an_oracle_and_fits_the_driver_cap():
     qs = set(entry_mod.queries())
     os_ = set(entry_mod.oracle_sql())
-    assert os_ <= qs
-    rows_only = qs - os_
-    # only genuinely non-SQL-expressible ops may omit the oracle
-    assert rows_only <= {
-        "q_minhash_pairs",
-        "q_ann_lsh",
-        "q_ann_ivf",
-        "q_sti_cea",
-        "q_sti_triples",
-    }
+    # every registry entry carries a DuckDB twin (approximate surfaces via
+    # invariant-contract twins), so the driver hash-checks all of them
+    assert os_ == qs, f"missing oracles: {qs - os_}; orphan oracles: {os_ - qs}"
+    # the driver records at most 50 CORRECTNESS rows (r3 evidence: 54
+    # registry entries → exactly the first 50 recorded); stay under the cap
+    # or the tail queries silently lose their correctness rows
+    assert len(entry_mod.queries()) <= 50
 
 
 def test_entry_returns_rows(spark):

@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 from tabbyld_spark.operators.textstats import (
     fingerprint,
     language_id,
+    ngram_language_id,
     quality_stats,
     regex_token_count,
     token_count,
@@ -50,6 +51,27 @@ def test_language_id_plain(spark):
     )
     got = {r["doc_id"]: r["pred_lang"] for r in language_id(df).collect()}
     assert got == {1: "en", 2: "de", 3: "es"}
+
+
+def test_ngram_language_id_plain(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the thing and the other thing are standing in the morning"),
+            (2, "der hund und die katze machen nicht dieselbe richtung schnell"),
+            (3, "el proceso de la casa es el que los gatos adoraron"),
+            (4, "le travail de la maison est ce que nous faisons pour eux"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["pred_lang_ngram"] for r in ngram_language_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "fr"}
+
+
+def test_ngram_language_id_deterministic_tiebreak(spark):
+    # no profile hits at all → every lang scores 0 → lang-asc tiebreak: 'de'
+    df = spark.createDataFrame([(1, "zzz")], "doc_id long, text string")
+    row = ngram_language_id(df).collect()[0]
+    assert (row["pred_lang_ngram"], row["tri_hits"]) == ("de", 0)
 
 
 def test_fingerprint_whitespace_invariant(spark):
