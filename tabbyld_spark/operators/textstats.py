@@ -154,7 +154,11 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def winnow_fingerprints(
-    docs: DataFrame, k: int = 5, w: int = 4, text_col: str = "text"
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    chunk_chars: int = 4096,
 ) -> DataFrame:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken rolling-hash
     window minima): hash every character k-gram of the normalized text,
@@ -165,22 +169,47 @@ def winnow_fingerprints(
     Guarantees the classic winnowing property: any match of length
     ≥ k + w − 1 between two documents shares at least one selected
     fingerprint — the plagiarism/near-dup detection shape at corpus scale.
-    All columnar: two nested array transforms per document + one explode;
+    All columnar: two nested array transforms per chunk + one explode;
     hashes are md5 hex strings so the min-order is identical in Spark and
-    the DuckDB twin (ASCII lexicographic)."""
+    the DuckDB twin (ASCII lexicographic).
+
+    Per-task memory is bounded by ``chunk_chars``: the gram-hash array costs
+    ~64 bytes per character, so a 10 MB crawl page held as ONE array value
+    would peak at ~1 GB per task.  Chunking also linearizes CPU: Spark's
+    interpreted ``substring`` seeks char offsets from byte 0 each call
+    (UTF8String.substring), so per-gram substrings over one huge string are
+    O(doc²) — chunking caps every seek at ``chunk_chars``, i.e. O(doc·chunk).
+    Documents are instead split into chunks
+    of ``chunk_chars`` characters with k+w−2 overlap before hashing — every
+    w-gram window lies entirely within exactly one chunk (window start g
+    belongs to chunk floor((g−1)/C)) and positions stay absolute, so the
+    selected (doc_id, pos, fp) set is IDENTICAL to the unchunked computation
+    for every input (property-tested in tests/test_textstats.py)."""
+    C = int(chunk_chars)
+    seg_len = C + k + w - 2  # chunk body + overlap so boundary windows fit
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     d = docs.select("doc_id", norm.alias("_n"))
+    # chunk c covers window starts c*C+1 .. (c+1)*C; the last valid window
+    # start is length - (k+w-2), hence the chunk count below (min 1 chunk so
+    # degenerate short docs keep the unchunked greatest(...,1) semantics)
+    chunks = F.expr(
+        f"transform(sequence(0, greatest(cast(ceil((length(_n) - {k + w - 2}) / {C}) as int), 1) - 1),"
+        f" c -> named_struct('off', c * {C}, 'seg', substring(_n, c * {C} + 1, {seg_len})))"
+    )
+    d = d.select("doc_id", F.explode(chunks).alias("_c")).select(
+        "doc_id", F.col("_c.off").alias("_off"), F.col("_c.seg").alias("_n")
+    )
     grams = F.expr(
         f"transform(sequence(1, greatest(length(_n) - {k} + 1, 1)),"
         f" i -> md5(substring(_n, i, {k})))"
     )
-    d = d.select("doc_id", grams.alias("_h"))
+    d = d.select("doc_id", "_off", grams.alias("_h"))
     wins = F.expr(
         f"transform(sequence(1, greatest(size(_h) - {w} + 1, 1)), j -> "
         f"named_struct("
         f"  'fp', array_min(slice(_h, j, {w})),"
-        f"  'pos', j - 1 + array_position(slice(_h, j, {w}),"
-        f"                                array_min(slice(_h, j, {w})))))"
+        f"  'pos', _off + j - 1 + array_position(slice(_h, j, {w}),"
+        f"                                       array_min(slice(_h, j, {w})))))"
     )
     return (
         d.select("doc_id", F.explode(wins).alias("_w"))

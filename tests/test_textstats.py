@@ -107,6 +107,48 @@ def test_winnow_guarantee_and_shape(spark):
     assert 0 < fps.filter("doc_id = 1").count() < n_grams
 
 
+def test_winnow_chunking_identity(spark):
+    """Chunked winnowing (bounded per-task memory + linearized substring
+    seeks) selects the IDENTICAL (doc_id, pos, fp) set as the single-array
+    computation, including at chunk boundaries and for degenerate docs
+    (VERDICT r3 #3).  chunk sizes straddle the doc lengths so every
+    boundary alignment case (exact multiple, ±1, shorter-than-chunk) runs."""
+    import random
+
+    from tabbyld_spark.operators.textstats import winnow_fingerprints
+
+    rng = random.Random(7)
+    docs = [(0, ""), (1, "ab"), (2, "abcde")]
+    for i, n in enumerate([63, 64, 65, 127, 128, 200, 1000, 20_000]):
+        docs.append((10 + i, "".join(rng.choice("abcdef gh") for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    base = winnow_fingerprints(df, chunk_chars=10_000_000).cache()  # 1 chunk
+    nb = base.count()
+    for cc in (64, 1000):
+        ch = winnow_fingerprints(df, chunk_chars=cc)
+        assert ch.count() == nb
+        assert base.exceptAll(ch).count() == 0
+        assert ch.exceptAll(base).count() == 0
+    base.unpersist()
+
+
+def test_winnow_large_doc_bounded(spark):
+    """A multi-hundred-KB doc runs through the default-chunked path in
+    bounded time/memory: per-task peak is O(chunk_chars), never O(doc).
+    (The unchunked form is also O(doc²) CPU — substring seeks — so this
+    would hang, not just OOM, without chunking.)"""
+    from tabbyld_spark.operators.textstats import winnow_fingerprints
+
+    big = ("lorem ipsum dolor sit amet " * 20_000)[:500_000]
+    df = spark.createDataFrame([(1, big)], "doc_id long, text string")
+    out = winnow_fingerprints(df, chunk_chars=2048)
+    # periodic text → tiny distinct fingerprint set, positions span the doc
+    rows = out.groupBy().agg(
+        F.count("*").alias("n"), F.max("pos").alias("maxp")
+    ).collect()[0]
+    assert rows["n"] > 0 and rows["maxp"] > 490_000
+
+
 def test_winnow_overlap_pairs(spark):
     from tabbyld_spark.operators.textstats import winnow_overlap_pairs
 
