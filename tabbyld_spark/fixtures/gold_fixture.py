@@ -51,8 +51,12 @@ def ensure_gold_fixture() -> str:
     os.makedirs(tmp, exist_ok=True)
     with open(os.path.join(tmp, "cta_gt.csv"), "w", newline="") as f:
         w = csv.writer(f)
-        for r in fx.gold_cta.itertuples():
-            w.writerow([r.table_id, pos[(r.table_id, r.column)], getattr(r, "_3")])
+        # named projection + positional unpack: 'class' is a Python keyword,
+        # so attribute access would depend on itertuples' positional rename
+        for table_id, column, cls in fx.gold_cta[
+            ["table_id", "column", "class"]
+        ].itertuples(index=False, name=None):
+            w.writerow([table_id, pos[(table_id, column)], cls])
     with open(os.path.join(tmp, "cpa_gt.csv"), "w", newline="") as f:
         w = csv.writer(f)
         for r in fx.gold_cpa.itertuples():

@@ -134,15 +134,22 @@ def loop_shuffle_width(sess, n_rows: int, rows_per_partition: int = 10_000):
     overhead every round, so a loop over a few-hundred-row frame must not
     run session-width stages; a web-scale run keeps the session setting
     (the width only ever narrows).  When AQE is enabled its partition
-    coalescing already solves this — the conf is left untouched.  Restores
-    the previous value on exit; the narrowed value is only observed by jobs
-    the loop itself triggers (eager checkpoints), never by the caller's
-    downstream actions."""
+    coalescing already solves this — the conf is left untouched; the check
+    reads the EFFECTIVE value (no caller-supplied default) so Spark's own
+    built-in default (true since 3.2) applies when the key was never set
+    explicitly.  Restores the previous value on exit; the narrowed value is
+    only observed by jobs the loop itself triggers (eager checkpoints),
+    never by the caller's downstream actions.  The conf mutation is
+    session-global: this helper assumes the single-driver-loop pattern
+    (one iterative algorithm planning at a time on the session) — do not
+    wrap it around loops that interleave planning with concurrent jobs on
+    a shared session."""
     prev = int(sess.conf.get("spark.sql.shuffle.partitions"))
-    aqe_on = (
-        str(sess.conf.get("spark.sql.adaptive.enabled", "false")).lower()
-        == "true"
-    )
+    try:
+        aqe_val = sess.conf.get("spark.sql.adaptive.enabled")
+    except Exception:  # pre-3.2 builds without a built-in default
+        aqe_val = "false"
+    aqe_on = str(aqe_val).lower() == "true"
     width = prev if aqe_on else max(4, min(prev, n_rows // rows_per_partition + 1))
     if width != prev:
         sess.conf.set("spark.sql.shuffle.partitions", str(width))

@@ -23,6 +23,8 @@ import os
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from tabbyld_spark.functions.lineage import cut
+
 from tabbyld_spark.functions.joins import parse_byte_conf
 
 
@@ -37,6 +39,14 @@ def contract_edges(edges: DataFrame) -> DataFrame:
     starts one hop from converged on locally-complete components).  Arrow
     mapInPandas, no driver involvement; union-find is near-linear per
     batch."""
+
+    # Output schema mirrors the input's (src, dst) field types so non-string
+    # node ids (e.g. int64 page ids) survive the Arrow round-trip instead of
+    # silently coercing; union-by-min below only needs ids to be orderable.
+    fields = {f.name: f.dataType for f in edges.schema.fields}
+    out_schema = (
+        f"src {fields['src'].simpleString()}, dst {fields['dst'].simpleString()}"
+    )
 
     def forest(batches):
         import pandas as pd
@@ -68,7 +78,7 @@ def contract_edges(edges: DataFrame) -> DataFrame:
                 [(r, n) for r, n in rows if r != n], columns=["src", "dst"]
             )
 
-    return edges.mapInPandas(forest, "src string, dst string")
+    return edges.mapInPandas(forest, out_schema)
 
 
 def connected_components(
@@ -96,7 +106,7 @@ def connected_components(
     # (half the Arrow transfer) and the forest is symmetrized instead.
     forest = contract_edges(
         edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
-    ).localCheckpoint()
+    ).transform(cut)
     # Loop shuffle width sized to the CONTRACTED volume (the checkpoint
     # makes the count a cheap in-memory scan): a web-scale run keeps the
     # session width, a small graph collapses to a few partitions so
@@ -120,7 +130,7 @@ def connected_components(
                 "_salt", F.pmod(F.xxhash64("src"), F.lit(salt))
             )
             join_key = ["dst", "_salt"]
-        sym = sym.localCheckpoint()
+        sym = sym.transform(cut)
         return _hash_min_body(sym, join_key, salt, max_iters)
 
 
@@ -129,7 +139,7 @@ def _hash_min_body(sym, join_key, salt, max_iters) -> DataFrame:
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
+        .transform(cut)
     )
     # broadcast-vs-shuffle decision for the label side: the checkpoint
     # propagates plan stats, so the driver-only estimate usually suffices
@@ -156,7 +166,7 @@ def _hash_min_body(sym, join_key, salt, max_iters) -> DataFrame:
         # checkpoint-propagated stats and the exchange is pure cost (a
         # per-iteration forced-broadcast hint was also measured SLOWER there:
         # each hint rebuilds the broadcast through the driver, ~0.2s/round).
-        sym = sym.repartition(*join_key).localCheckpoint()
+        sym = sym.repartition(*join_key).transform(cut)
     for _ in range(max_iters):
         # propagate: each node adopts min(label of self, labels of neighbours)
         if salt > 1:
@@ -193,7 +203,7 @@ def _hash_min_body(sym, join_key, salt, max_iters) -> DataFrame:
                 ).alias("changed"),
             )
             .select("node", "component")
-            .localCheckpoint()
+            .transform(cut)
         )
         labels = new_labels
         if (obs.get["changed"] or 0) == 0:

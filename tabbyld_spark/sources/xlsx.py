@@ -106,8 +106,27 @@ def read_workbook(data: bytes) -> dict[str, list[list[str]]]:
                         val = shared[int(val)]
                 cells[idx] = val
             rows.append(cells)
+        # Trailing fully-empty rows have no <row> element at all, so the
+        # 'r'-attribute backfill above can't see them; the sheet's declared
+        # <dimension ref="A1:Cn"/> extent restores them when present.
+        dim = ws.find("m:dimension", _NS)
+        if dim is not None:
+            m = re.search(r"(\d+)\s*$", dim.get("ref") or "")
+            if m:
+                while len(rows) < int(m.group(1)):
+                    rows.append([])
         width = max((len(r) for r in rows), default=0)
         out[name] = [r + [""] * (width - len(r)) for r in rows]
+    # Pad every sheet to the workbook's max height: the three sheets are
+    # positionally parallel, and Excel drops trailing empty rows per-sheet,
+    # so differing heights would silently misalign CANONICAL vs NER at the
+    # tail even after the mid-sheet 'r' backfill (each sheet keeps its own
+    # width; empty rows are rectangularized with '').
+    max_rows = max((len(r) for r in out.values()), default=0)
+    for name, rows in out.items():
+        width = max((len(r) for r in rows), default=0)
+        while len(rows) < max_rows:
+            rows.append([""] * width)
     return out
 
 

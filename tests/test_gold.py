@@ -24,8 +24,10 @@ def gold_csvs(tmp_path_factory, pages_fx):
     d = tmp_path_factory.mktemp("gold")
     with open(os.path.join(d, "cta_gt.csv"), "w", newline="") as f:
         w = csv.writer(f)
-        for r in fx.gold_cta.itertuples():
-            w.writerow([r.table_id, pos[(r.table_id, r.column)], getattr(r, "_3")])
+        for table_id, column, cls in fx.gold_cta[
+            ["table_id", "column", "class"]
+        ].itertuples(index=False, name=None):
+            w.writerow([table_id, pos[(table_id, column)], cls])
     with open(os.path.join(d, "cpa_gt.csv"), "w", newline="") as f:
         w = csv.writer(f)
         for r in fx.gold_cpa.itertuples():

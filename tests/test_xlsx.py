@@ -87,6 +87,40 @@ def test_sparse_rows_keep_positions(tmp_path):
     assert len(sheets[SHEET_CANONICAL]) == len(sheets[SHEET_NER])
 
 
+def test_sparse_tail_rows_keep_heights(tmp_path):
+    """Trailing empty rows Excel dropped from ONE sheet must not leave the
+    parallel sheets with different heights (ADVICE r3): sheets are padded to
+    the workbook max row count, and a declared <dimension> extent restores
+    a sheet's own dropped tail even when every sheet dropped it."""
+    import re
+    import zipfile
+
+    path = str(tmp_path / "tail.xlsx")
+    write_workbook(
+        path,
+        {
+            SHEET_CANONICAL: [["h"], ["a"], [""], [""]],
+            SHEET_NER: [["h"], ["NONE"], ["NONE"], ["NONE"]],
+        },
+    )
+    # simulate Excel dropping the two trailing empty rows (r=3, r=4) from
+    # the CANONICAL sheet only — no later row 'r' triggers a backfill
+    with zipfile.ZipFile(path) as zf:
+        parts = {n: zf.read(n) for n in zf.namelist()}
+    sheet1 = parts["xl/worksheets/sheet1.xml"].decode()
+    sheet1 = re.sub(r'<row r="[34]">.*?</row>', "", sheet1)
+    # also collapse any declared dimension so the workbook-max padding path
+    # (not the dimension path) is what must restore alignment
+    sheet1 = re.sub(r'<dimension ref="[^"]*"/>', "", sheet1)
+    parts["xl/worksheets/sheet1.xml"] = sheet1.encode()
+    with zipfile.ZipFile(path, "w") as zf:
+        for n, b in parts.items():
+            zf.writestr(n, b)
+    sheets = read_workbook(open(path, "rb").read())
+    assert len(sheets[SHEET_CANONICAL]) == len(sheets[SHEET_NER]) == 4
+    assert sheets[SHEET_CANONICAL] == [["h"], ["a"], [""], [""]]
+
+
 def test_xlsx_to_canonical_values(spark, workbook_dir):
     out, tables, fx = workbook_dir
     canon = xlsx_dataset_to_canonical(spark, out + "/*.xlsx")
