@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from tabbyld_spark.functions.lineage import cut
+
 
 def subclass_closure(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     """edges(child, parent) direct edges → closure(child, parent, depth).
@@ -33,7 +35,7 @@ def subclass_closure(edges: DataFrame, max_iters: int = 20) -> DataFrame:
         F.col("n").alias("child"), F.col("n").alias("parent"), F.lit(0).alias("depth")
     ).unionByName(
         edges.select("child", "parent", F.lit(1).alias("depth"))
-    ).distinct().localCheckpoint()
+    ).distinct().transform(cut)
 
     def _sig(df: DataFrame) -> int:
         return df.agg(F.sum(F.hash("child", "parent", "depth"))).collect()[0][0] or 0
@@ -66,7 +68,7 @@ def subclass_closure(edges: DataFrame, max_iters: int = 20) -> DataFrame:
                 .observe(
                     obs, F.sum(F.hash("child", "parent", "depth")).alias("sig")
                 )
-                .localCheckpoint()
+                .transform(cut)
             )
             new_sig = obs.get["sig"] or 0
             closure = stepped

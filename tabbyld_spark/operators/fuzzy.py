@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tabbyld_spark.functions.lineage import cut
+
 MAX_EDIT_DISTANCE = 3
 # character 2-grams + a loose Jaccard-distance cut: one edit in a short name
 # wipes out most of its gram set, so the block boundary must be generous —
@@ -88,7 +90,7 @@ def lsh_fuzzy_candidates(
         # once; also bounds the optimizer's tree, which otherwise folds the
         # 12-band expression forest into both consumers (measured 2.5x the
         # whole function's wall time in driver-side planning alone)
-        .localCheckpoint()
+        .transform(cut)
     )
     # distinct normalized strings: LSH work scales with vocabulary, not cells
     m_keys = missed.select("mention_norm").distinct()
@@ -116,7 +118,7 @@ def lsh_fuzzy_candidates(
         .select("mention_norm", "surface_form")
         # tiny (surviving typo-pair vocabulary); cutting here keeps the
         # band-join subtree out of the downstream candidate-union plan
-        .localCheckpoint()
+        .transform(cut)
     )
     return (
         missed.join(pairs, "mention_norm")

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tabbyld_spark.extract.html import extract_pages
+from tabbyld_spark.functions.lineage import cut
 from tabbyld_spark.functions.ner import attach_ner, build_gazetteer
 from tabbyld_spark.operators import features as FT
 from tabbyld_spark.operators.aggregate import aggregate_ranks, cea_top1, cpa_vote, cta_vote
@@ -64,7 +65,7 @@ def annotate_canonical(
     # cut lineage at stage boundaries: the mention/candidate sets feed
     # several downstream joins each — without a checkpoint the reused subplan
     # re-optimizes and re-executes per consumer and the plan tree explodes
-    mentions = mentions.localCheckpoint()
+    mentions = cut(mentions)
 
     fuzzy = None
     if fuzzy_enabled:
@@ -79,13 +80,13 @@ def annotate_canonical(
     # _join_back; the blanket merge hint this replaces cost 45% pipeline wall
     # time at bench scale, and the blanket broadcast it reverts OOM'd at 160k
     # pages).  The count itself scans the just-checkpointed blocks — cheap.
-    cands = cands.localCheckpoint()
+    cands = cut(cands)
     n_cands = cands.count()
     # P10+P11 fused: one wide-table join-back instead of two (features.py)
     cands = FT.base_feature_ranks(
         cands, kg["kg_types"], kg["kg_subclass"], feat_rows=n_cands
     )
-    cands = cands.localCheckpoint()
+    cands = cut(cands)
 
     ectx = entry_context(canonical)
     kctx = FT.entity_context(cands, kg["kg_triples"])
@@ -93,14 +94,14 @@ def annotate_canonical(
     # once: semantic_similarity self-joins its input three ways, and without a
     # materialization boundary Spark re-executes the whole upstream subplan
     # per occurrence (no cross-operator CSE) — measured 354s → 230s at 2 cores
-    cands = FT.context_similarity(cands, ectx, kctx, feat_rows=n_cands).localCheckpoint()
+    cands = cut(FT.context_similarity(cands, ectx, kctx, feat_rows=n_cands))
     pcl = FT.parent_classes(cands, kg["kg_triples"])
-    cands = FT.semantic_similarity(
+    cands = cut(FT.semantic_similarity(
         cands, pcl, salt=p16_salt, feat_rows=n_cands
-    ).localCheckpoint()
+    ))
 
     scored = aggregate_ranks(cands)
-    cea = cea_top1(scored, literals).localCheckpoint()
+    cea = cut(cea_top1(scored, literals))
     cta = cta_vote(cea, canonical, kg["kg_types"])
     cpa = cpa_vote(cea, canonical, kg["kg_triples"])
     triples = emit_triples(cea, cta, cpa)
@@ -114,7 +115,7 @@ def annotate_pages(
 ) -> AnnotationResult:
     """Full S1-S6 from the raw pages table."""
     extracted = extract_pages(pages)
-    canonical = tables_to_canonical(extracted).localCheckpoint()
+    canonical = cut(tables_to_canonical(extracted))
     return annotate_canonical(
         canonical, kg, provided_ner=False, fuzzy_enabled=fuzzy_enabled
     )
