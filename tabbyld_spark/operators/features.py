@@ -309,8 +309,14 @@ def semantic_similarity(
     # narrower downstream key set would shuffle AGAIN.  hash(table_key) is a
     # subset of every aggregation/window key below, so this single exchange
     # satisfies all of them.
+    # equal-strings fast path: candidate class vocabularies overlap heavily,
+    # so a large share of pairs compare identical localnames — an equality
+    # probe is O(len) vs the O(len²) edit-distance DP (VERDICT r3 #7)
     dist = pairs.repartition("table_key").withColumn(
-        "_d", F.levenshtein("a_c", "b_c")
+        "_d",
+        F.when(F.col("a_c") == F.col("b_c"), F.lit(0)).otherwise(
+            F.levenshtein("a_c", "b_c")
+        ),
     )
     # Exchange-count discipline: table_key rides as the LEADING key of every
     # aggregation/window below.  It is functionally determined by a_m (the

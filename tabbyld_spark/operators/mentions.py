@@ -36,26 +36,38 @@ _ROLE_COLUMN = {ROLE_ROW: "row_heading", ROLE_COL: "column_heading"}
 
 
 def data_mentions(canonical: DataFrame, provided_ner: bool = False) -> DataFrame:
-    """(table_id, col_role=DATA, mention, mention_norm[, ner], heading_labels)"""
-    w = Window.partitionBy("table_id", "data").orderBy(
-        F.desc("row_idx"), F.desc("col_idx")
-    )
+    """(table_id, col_role=DATA, mention, mention_norm[, ner], heading_labels)
+
+    Last-row-wins is a ``max_by`` over (row_idx, col_idx) instead of a
+    row_number window: hash aggregation partial-aggregates map-side (the
+    shuffle moves one pre-reduced row per (table, value) per map task, never
+    every holder row) and needs no per-partition sort — the scale win over
+    the window at web row counts.  (row_idx, col_idx) is unique per table,
+    so the winner is deterministic and identical to the former
+    orderBy(desc, desc) row_number pick."""
     labels = F.concat(
         F.transform(split_multivalue("row_heading"), normalize_entry),
         F.transform(split_multivalue("column_heading"), normalize_entry),
+    )
+    win = F.struct(
+        F.filter(labels, lambda x: x != "").alias("hl"),
+        *([F.col("data_ner").alias("ner")] if provided_ner else []),
     )
     cols = [
         F.col("table_id"),
         F.lit(ROLE_DATA).alias("col_role"),
         F.col("data").alias("mention"),
         normalize_entry("data").alias("mention_norm"),
-        F.filter(labels, lambda x: x != "").alias("heading_labels"),
+        F.col("_w.hl").alias("heading_labels"),
     ]
     if provided_ner:
-        cols.append(F.col("data_ner").alias("ner"))
+        cols.append(F.col("_w.ner").alias("ner"))
     return (
-        canonical.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (F.col("data") != "") & (normalize_entry("data") != ""))
+        canonical.filter(
+            (F.col("data") != "") & (normalize_entry("data") != "")
+        )
+        .groupBy("table_id", "data")
+        .agg(F.max_by(win, F.struct("row_idx", "col_idx")).alias("_w"))
         .select(*cols)
     )
 
@@ -96,18 +108,22 @@ def heading_mentions(canonical: DataFrame, roles: tuple[str, ...] = (ROLE_ROW, R
     parts = parts.withColumn("mention_norm", normalize_entry("mention")).filter(
         F.col("mention_norm") != ""
     )
-    parts = parts.withColumn(
-        "mention_key", mention_skey()
-    )
-    w = Window.partitionBy("mention_key", "table_id", "col_role", "mention").orderBy(
-        F.desc("row_idx"), F.desc("col_idx")
-    )
+    # last-row-wins via max_by (partial-aggregating, sort-free — see
+    # data_mentions); mention_norm is a function of the group key, so
+    # first() is deterministic, and the row-position tiebreak only matters
+    # when a per-row value (the NER label) is carried out of the group
+    agg = [F.first("mention_norm").alias("mention_norm")]
+    if provided_ner:
+        agg.append(
+            F.max_by(F.col("ner"), F.struct("row_idx", "col_idx")).alias("ner")
+        )
     out_cols = ["table_id", "col_role", "mention", "mention_norm", "mention_key"] + (
         ["ner"] if provided_ner else []
     )
     return (
-        parts.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        parts.groupBy("table_id", "col_role", "mention")
+        .agg(*agg)
+        .withColumn("mention_key", mention_skey())
         .select(*out_cols)
     )
 
@@ -228,20 +244,31 @@ def entry_context(
         )
         return small.unionByName(big_pairs)
 
-    full = (
+    streams = (
         _pair_contribs(("row_heading",), 1)
         .unionByName(_pair_contribs(("column_heading",), 1))
         .unionByName(_pair_contribs(("row_heading", "column_heading"), -1))
-        .groupBy("table_id", "mention", "ctx_value")
+    )
+    if hashed:
+        # hashed output shape: the overlap consumer (P14) compares values by
+        # exact equality, so only hashes need to travel — and hashing BEFORE
+        # the final aggregate means its exchange (the widest in P12: the
+        # signed pair streams) moves two longs per row instead of raw cell
+        # strings, and the map-side partial agg hashes longs, not strings.
+        # Colliding ctx_values would merge here, but the P14 join keys on
+        # vhash already, so Σ n·m is unchanged under any collision.
+        return (
+            streams.select(
+                skey("table_id", "mention").alias("ctx_key"),
+                skey("ctx_value").alias("vhash"),
+                "contrib",
+            )
+            .groupBy("ctx_key", "vhash")
+            .agg(F.sum("contrib").alias("n"))
+            .filter(F.col("n") > 0)
+        )
+    return (
+        streams.groupBy("table_id", "mention", "ctx_value")
         .agg(F.sum("contrib").alias("n"))
         .filter(F.col("n") > 0)
-    )
-    if not hashed:
-        return full
-    # hashed output shape: the overlap consumer (P14) compares values by
-    # exact equality, so only hashes need to travel
-    return full.select(
-        skey("table_id", "mention").alias("ctx_key"),
-        skey("ctx_value").alias("vhash"),
-        "n",
     )

@@ -117,9 +117,14 @@ def ngram_language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     compile-time literals, so the filter predicates fold into the generated
     code (no join, no UDF).  Twin: oracle_sql()['q_langid_ngram']."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    # grams via a char array + O(1) element slices, NOT norm.substr(i, 3):
+    # interpreted Substring seeks char offsets from byte 0 every call, which
+    # makes per-offset substrings O(doc²) per document (measured 17s for the
+    # sf0.1 documents table; this form is linear and took it to <1s).
+    chars = F.split(norm, "")
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - 2, F.lit(1))),
-        lambda i: norm.substr(i, F.lit(3)),
+        F.sequence(F.lit(1), F.greatest(F.size(chars) - 2, F.lit(1))),
+        lambda i: F.concat_ws("", F.slice(chars, i, 3)),
     )
     d = docs.withColumn("_g", grams)
 
@@ -175,47 +180,83 @@ def winnow_fingerprints(
 
     Per-task memory is bounded by ``chunk_chars``: the gram-hash array costs
     ~64 bytes per character, so a 10 MB crawl page held as ONE array value
-    would peak at ~1 GB per task.  Chunking also linearizes CPU: Spark's
-    interpreted ``substring`` seeks char offsets from byte 0 each call
-    (UTF8String.substring), so per-gram substrings over one huge string are
-    O(doc²) — chunking caps every seek at ``chunk_chars``, i.e. O(doc·chunk).
-    Documents are instead split into chunks
-    of ``chunk_chars`` characters with k+w−2 overlap before hashing — every
-    w-gram window lies entirely within exactly one chunk (window start g
-    belongs to chunk floor((g−1)/C)) and positions stay absolute, so the
-    selected (doc_id, pos, fp) set is IDENTICAL to the unchunked computation
-    for every input (property-tested in tests/test_textstats.py)."""
+    would peak at ~1 GB per task.  CPU is LINEAR in document length: chunk
+    extraction is a single ``\\G``-anchored fixed-length split (one regex
+    pass — per-chunk ``substring(_n, c*C+1, …)`` would seek char offsets
+    from byte 0 and cost O(doc²/C)), and in-chunk gram hashing slices a
+    per-chunk char array (O(1) element access) instead of per-offset
+    ``substring`` (O(chunk) seek each ⇒ O(doc·chunk) total).  Chunks carry
+    a k+w−2 overlap — every w-gram window lies entirely within exactly one
+    chunk (window start g belongs to chunk floor((g−1)/C)) and positions
+    stay absolute, so the selected (doc_id, pos, fp) set is IDENTICAL to
+    the unchunked computation for every input (property-tested in
+    tests/test_textstats.py)."""
     C = int(chunk_chars)
-    seg_len = C + k + w - 2  # chunk body + overlap so boundary windows fit
+    OV = k + w - 2  # overlap so boundary windows fit
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     d = docs.select("doc_id", norm.alias("_n"))
-    # chunk c covers window starts c*C+1 .. (c+1)*C; the last valid window
-    # start is length - (k+w-2), hence the chunk count below (min 1 chunk so
-    # degenerate short docs keep the unchunked greatest(...,1) semantics)
-    chunks = F.expr(
-        f"transform(sequence(0, greatest(cast(ceil((length(_n) - {k + w - 2}) / {C}) as int), 1) - 1),"
-        f" c -> named_struct('off', c * {C}, 'seg', substring(_n, c * {C} + 1, {seg_len})))"
-    )
-    d = d.select("doc_id", F.explode(chunks).alias("_c")).select(
-        "doc_id", F.col("_c.off").alias("_off"), F.col("_c.seg").alias("_n")
-    )
-    grams = F.expr(
-        f"transform(sequence(1, greatest(length(_n) - {k} + 1, 1)),"
-        f" i -> md5(substring(_n, i, {k})))"
-    )
-    d = d.select("doc_id", "_off", grams.alias("_h"))
-    wins = F.expr(
-        f"transform(sequence(1, greatest(size(_h) - {w} + 1, 1)), j -> "
-        f"named_struct("
-        f"  'fp', array_min(slice(_h, j, {w})),"
-        f"  'pos', _off + j - 1 + array_position(slice(_h, j, {w}),"
-        f"                                       array_min(slice(_h, j, {w})))))"
-    )
-    return (
-        d.select("doc_id", F.explode(wins).alias("_w"))
+    # CRITICAL evaluation-model constraint: an array-valued subexpression
+    # referenced INSIDE a higher-order-function lambda is re-evaluated per
+    # ELEMENT (CollapseProject inlines column aliases into the lambda body,
+    # and interpreted HOFs have no per-row subexpression cache) — a split()
+    # referenced from a transform() lambda turned this operator O(doc·chunk)
+    # to O(doc²).  Every stage below therefore extracts its array in ONE
+    # regex pass (regexp_extract_all) or consumes arrays only as TOP-LEVEL
+    # zip_with/slice arguments, which evaluate once per row no matter how
+    # often the optimizer duplicates them.
+    #
+    # chunk c covers window starts c*C+1..(c+1)*C and carries the next OV
+    # chars: one (?s) pass captures C+OV chars of lookahead at each C-char
+    # boundary; trailing segs with no valid window start (c*C+1 > len−OV)
+    # are dropped, leaving exactly ceil((len−OV)/C) ∨ 1 chunks as before.
+    seg_pat = rf"(?s)(?=(.{{1,{C + OV}}}))(?:.{{{C}}}|.{{1,{C}}}$)"
+    segs = F.regexp_extract_all(F.col("_n"), F.lit(seg_pat), 1)
+    segs = F.when(F.size(segs) == 0, F.array(F.lit(""))).otherwise(segs)
+    d = (
+        d.select("doc_id", F.length("_n").alias("_len"), F.posexplode(segs))
+        .filter((F.col("pos") == 0) | (F.col("pos") * C + 1 <= F.col("_len") - OV))
         .select(
             "doc_id",
-            F.col("_w.pos").cast("long").alias("pos"),
+            (F.col("pos") * C).alias("_off"),
+            F.col("col").alias("_seg"),
+        )
+    )
+    # all k-grams in one pass: lookahead-capture k chars, consume 1; short
+    # docs (< k chars) degenerate to a single whole-string gram as before
+    gram_pat = rf"(?s)(?=(.{{{k}}}))."
+    gram_strs = F.when(
+        F.length("_seg") < k, F.array(F.col("_seg"))
+    ).otherwise(F.regexp_extract_all(F.col("_seg"), F.lit(gram_pat), 1))
+    hs = F.zip_with(
+        F.transform(gram_strs, F.md5),
+        F.sequence(F.lit(1), F.greatest(F.length("_seg") - (k - 1), F.lit(1))),
+        lambda h, i: F.struct(h.alias("fp"), i.alias("pos")),
+    )
+    d = d.select("doc_id", "_off", hs.alias("_hs"))
+    # sliding-window minimum over (fp, pos) structs via w−1 chained
+    # zip_with(least) against self-shifts: least() skips the nulls zip_with
+    # pads with, and struct order (fp, pos) makes the minimum the LEFTMOST
+    # minimal hash — the winnowing tiebreak.  O(w·grams) per row, no
+    # per-window slices.
+    # exact slice length — start+length must not overflow int32: a 2^31−1
+    # length standalone clamps, but inside zip_with codegen it wraps and the
+    # shift silently evaluates empty (the chain then no-ops; caught by the
+    # old-vs-new A/B, now pinned in tests)
+    m = F.col("_hs")
+    for s in range(1, w):
+        m = F.zip_with(
+            m,
+            F.slice(
+                F.col("_hs"), s + 1, F.greatest(F.size("_hs") - s, F.lit(1))
+            ),
+            lambda a, b: F.least(a, b),
+        )
+    wins = F.slice(m, 1, F.greatest(F.size("_hs") - (w - 1), F.lit(1)))
+    return (
+        d.select("doc_id", "_off", F.explode(wins).alias("_w"))
+        .select(
+            "doc_id",
+            (F.col("_off") + F.col("_w.pos")).cast("long").alias("pos"),
             F.col("_w.fp").alias("fp"),
         )
         .distinct()

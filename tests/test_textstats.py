@@ -124,6 +124,12 @@ def test_winnow_chunking_identity(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     base = winnow_fingerprints(df, chunk_chars=10_000_000).cache()  # 1 chunk
     nb = base.count()
+    # density pin: winnowing selects ~2/(w+1) of window positions on random
+    # text — a broken sliding-min (e.g. a no-op shift chain, seen when a
+    # 2^31-1 slice length overflowed inside zip_with) emits ~1 fp per window
+    # and fails this hard
+    n20k = base.filter("doc_id = 17").count()  # the 20_000-char doc
+    assert n20k < 0.6 * (20_000 - 5 + 1 - 3), n20k
     for cc in (64, 1000):
         ch = winnow_fingerprints(df, chunk_chars=cc)
         assert ch.count() == nb
