@@ -37,12 +37,20 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per document: (doc_id, shingle)."""
-    t = tokens(text_col)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-    )
+    """Distinct word n-gram shingles per document: (doc_id, shingle).
+
+    One regex pass (lookahead-capture n tokens, consume one) over the
+    whitespace-normalized text — never ``slice(tokens, i, n)`` inside a
+    transform() lambda, which re-evaluates the token array per element
+    (O(words²) per doc; see operators/textstats.py winnow notes).  Shingle
+    strings are identical to the former concat_ws(' ', slice(...)) because
+    the text is single-space-normalized first; docs with fewer than n
+    tokens degenerate to one whole-text shingle exactly as before."""
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    pat = rf"(?=(\S+(?: \S+){{{n - 1}}}))\S+ ?"
+    sh = F.when(
+        F.size(F.split(norm, " ")) < n, F.array(norm)
+    ).otherwise(F.regexp_extract_all(norm, F.lit(pat), 1))
     return docs.select(
         F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle")
     )
@@ -209,15 +217,27 @@ def embedding_dedup_pairs_blocked(
         planes_df,
         lambda plane: F.when(dot(F.col(vec_col), plane) >= 0, F.lit("1")).otherwise(F.lit("0")),
     )
-    banded = emb.withColumn("_sig", sig).select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("v"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.concat_ws("", F.slice("_sig", b * per_band + 1, per_band)),
-            )
-        ).alias("band", "bucket"),
+    # explode band INDICES first, derive buckets after the Generate barrier:
+    # a bucket lambda that references _sig would re-evaluate the whole
+    # n_planes-dot-product signature per band (CollapseProject inlines the
+    # alias into the lambda body); past the Generate, _sig is a bound
+    # attribute computed once per row
+    banded = (
+        emb.withColumn("_sig", sig)
+        .select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("v"),
+            "_sig",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        )
+        .select(
+            "vid",
+            "v",
+            "band",
+            F.concat_ws(
+                "", F.slice("_sig", F.col("band") * per_band + 1, per_band)
+            ).alias("bucket"),
+        )
     )
     a = banded.select("band", "bucket", F.col("vid").alias("id_a"), F.col("v").alias("va"))
     b = banded.select("band", "bucket", F.col("vid").alias("id_b"), F.col("v").alias("vb"))

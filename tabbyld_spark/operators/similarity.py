@@ -237,17 +237,26 @@ def lsh_topk(
             planes_df,
             lambda plane: F.when(dot(F.col(vec_col), plane) >= 0, F.lit("1")).otherwise(F.lit("0")),
         )
-        banded = df.withColumn("_sig", sig).select(
-            F.col(id_col).alias(idc),
-            F.col(vec_col).alias(f"_{idc}_v"),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                    lambda b: F.concat_ws(
-                        "", F.slice("_sig", b * per_band + 1, per_band)
-                    ),
-                )
-            ).alias("band", "bucket"),
+        # band indices explode FIRST; buckets derive from the bound _sig in
+        # the projection ABOVE the Generate — a bucket lambda referencing
+        # _sig would re-evaluate the full n_planes-dot signature per band
+        # (CollapseProject inlines aliases into lambda bodies)
+        banded = (
+            df.withColumn("_sig", sig)
+            .select(
+                F.col(id_col).alias(idc),
+                F.col(vec_col).alias(f"_{idc}_v"),
+                "_sig",
+                F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+            )
+            .select(
+                idc,
+                f"_{idc}_v",
+                "band",
+                F.concat_ws(
+                    "", F.slice("_sig", F.col("band") * per_band + 1, per_band)
+                ).alias("bucket"),
+            )
         )
         return banded
 

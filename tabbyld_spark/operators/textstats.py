@@ -117,14 +117,14 @@ def ngram_language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     compile-time literals, so the filter predicates fold into the generated
     code (no join, no UDF).  Twin: oracle_sql()['q_langid_ngram']."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    # grams via a char array + O(1) element slices, NOT norm.substr(i, 3):
-    # interpreted Substring seeks char offsets from byte 0 every call, which
-    # makes per-offset substrings O(doc²) per document (measured 17s for the
-    # sf0.1 documents table; this form is linear and took it to <1s).
-    chars = F.split(norm, "")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(chars) - 2, F.lit(1))),
-        lambda i: F.concat_ws("", F.slice(chars, i, 3)),
+    # all trigrams in ONE regex pass (lookahead-capture 3, consume 1) —
+    # never per-offset substr (O(doc) seek each ⇒ O(doc²) total) and never
+    # an array subexpression referenced inside a transform() lambda (re-
+    # evaluated per element; see winnow_fingerprints).  Docs shorter than 3
+    # chars degenerate to one whole-string gram, matching substr(i, 3) on
+    # a short string.
+    grams = F.when(F.length(norm) < 3, F.array(norm)).otherwise(
+        F.regexp_extract_all(norm, F.lit(r"(?s)(?=(.{3}))."), 1)
     )
     d = docs.withColumn("_g", grams)
 
@@ -286,7 +286,15 @@ def winnow_overlap_pairs(
     DuckDB twin mirrors this.  Shuffles: one per-doc distinct, one df count,
     one fp-keyed join, one pair groupBy — all key-partitioned, no driver
     collection."""
-    fps = winnow_fingerprints(docs, k, w, text_col).select("doc_id", "fp").distinct()
+    from tabbyld_spark.functions.lineage import cut
+
+    # cut: the fingerprint set feeds THREE consumers (df counts, the pair
+    # join's two sides, per-doc sizes) — without a materialization boundary
+    # Spark re-executes the whole winnowing chain per consumer (no
+    # cross-consumer CSE), measured ~3× this operator's cost
+    fps = cut(
+        winnow_fingerprints(docs, k, w, text_col).select("doc_id", "fp").distinct()
+    )
     df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
     fps = fps.join(df_counts.filter(F.col("_df") <= max_df), "fp").select(
         "doc_id", "fp"
