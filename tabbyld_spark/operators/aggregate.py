@@ -75,9 +75,22 @@ def cea_top1(scored: DataFrame, literals: DataFrame | None = None) -> DataFrame:
 
 def cta_vote(cea: DataFrame, canonical: DataFrame, kg_types: DataFrame) -> DataFrame:
     """Majority dbo class of each column's winning DATA entities.
-    → (table_id, column, class, votes)"""
-    cells = canonical.select(
-        "table_id", F.col("column_heading").alias("column"), F.col("data").alias("mention")
+    → (table_id, column, class, votes)
+
+    Cells are pre-aggregated to distinct (table, column, value) grain with a
+    multiplicity count BEFORE the winner join: the hash aggregate partial-
+    combines map-side, so the shuffle and the join probe move one row per
+    distinct cell value instead of one per cell — at web scale a column
+    repeats its vocabulary across millions of rows, and per-cell join rows
+    are pure waste.  votes = Σ cnt is exactly the per-cell count."""
+    cells = (
+        canonical.select(
+            "table_id",
+            F.col("column_heading").alias("column"),
+            F.col("data").alias("mention"),
+        )
+        .groupBy("table_id", "column", "mention")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
     )
     winners = cea.filter(F.col("col_role") == "DATA").select(
         "table_id", "mention", "entity"
@@ -86,7 +99,7 @@ def cta_vote(cea: DataFrame, canonical: DataFrame, kg_types: DataFrame) -> DataF
         cells.join(winners, ["table_id", "mention"])
         .join(kg_types.filter(F.col("class").startswith(DBO)), "entity")
         .groupBy("table_id", "column", "class")
-        .agg(F.count(F.lit(1)).alias("votes"))
+        .agg(F.sum("_cnt").alias("votes"))
     )
     w = Window.partitionBy("table_id", "column").orderBy(
         F.desc("votes"), F.asc("class")
@@ -102,11 +115,18 @@ def cpa_vote(cea: DataFrame, canonical: DataFrame, kg_triples: DataFrame) -> Dat
     """Majority KG predicate between each row's key entity (RowHeading winner)
     and its data entity, per (table, column) pair.
     → (table_id, col_a='RowHeading', col_b=column, pred, votes)"""
-    rows = canonical.select(
-        "table_id",
-        F.explode(split_multivalue("row_heading")).alias("row_mention"),
-        F.col("column_heading").alias("col_b"),
-        F.col("data").alias("data_mention"),
+    # same distinct-grain pre-aggregation as cta_vote: one row per distinct
+    # (table, row-part, column, value) combo with multiplicity, so the
+    # two winner joins and the kg_triples probe run at vocabulary grain
+    rows = (
+        canonical.select(
+            "table_id",
+            F.explode(split_multivalue("row_heading")).alias("row_mention"),
+            F.col("column_heading").alias("col_b"),
+            F.col("data").alias("data_mention"),
+        )
+        .groupBy("table_id", "row_mention", "col_b", "data_mention")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
     )
     row_w = cea.filter(F.col("col_role") == "ROW").select(
         "table_id", F.col("mention").alias("row_mention"), F.col("entity").alias("subj")
@@ -119,7 +139,7 @@ def cpa_vote(cea: DataFrame, canonical: DataFrame, kg_triples: DataFrame) -> Dat
         .join(data_w, ["table_id", "data_mention"])
         .join(kg_triples, ["subj", "obj"])
         .groupBy("table_id", "col_b", "pred")
-        .agg(F.count(F.lit(1)).alias("votes"))
+        .agg(F.sum("_cnt").alias("votes"))
     )
     w = Window.partitionBy("table_id", "col_b").orderBy(F.desc("votes"), F.asc("pred"))
     return (

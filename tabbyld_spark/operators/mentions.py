@@ -129,18 +129,94 @@ def heading_mentions(canonical: DataFrame, roles: tuple[str, ...] = (ROLE_ROW, R
 
 
 def all_mentions(canonical: DataFrame, provided_ner: bool = False) -> DataFrame:
-    """Union of the three roles with a uniform schema (heading roles carry an
-    empty heading_labels array)."""
-    d = data_mentions(canonical, provided_ner).withColumn(
-        "mention_key", mention_skey()
+    """All three roles in ONE canonical scan, one explode, one aggregate.
+
+    Same rows as data_mentions ∪ heading_mentions (the per-role operators
+    remain for standalone use), but the fused shape matters at scale: the
+    checkpointed canonical blocks are the pipeline's widest materialization,
+    and the union form re-reads them once per role (3× block traffic) and
+    aggregates twice.  Here each row emits its DATA struct plus one struct
+    per heading part, and a single groupBy(table_id, col_role, mention)
+    max_by picks the last-row-wins winner for every role at once — the
+    role is IN the group key, so winners are per (table, role, mention)
+    exactly as before.  Normalization cost rides the aggregate's reduction:
+    the cheap raw ``mention != ''`` filter runs pre-aggregate (dropping empty
+    cells before the shuffle), while the normalize-based emptiness filter runs
+    on ``mention_norm`` AFTER the aggregate — normalize_entry is a pure
+    function of the group key, so filtering groups instead of rows is
+    output-identical but evaluates the regex chain once per distinct mention
+    rather than once per exploded holder row.
+
+    Per-row values referenced inside the transform lambdas (packed-NER last
+    part, heading-label array) are pre-projected to bound attributes so no
+    HOF re-evaluates them per element."""
+    labels = F.concat(
+        F.transform(split_multivalue("row_heading"), normalize_entry),
+        F.transform(split_multivalue("column_heading"), normalize_entry),
     )
-    h = heading_mentions(canonical, (ROLE_ROW, ROLE_COL), provided_ner).withColumn(
-        "heading_labels", F.array().cast("array<string>")
+    empty = F.array().cast("array<string>")
+    null_s = F.lit(None).cast("string")
+    src = canonical.select(
+        "table_id",
+        "row_idx",
+        "col_idx",
+        "data",
+        F.filter(labels, lambda x: x != "").alias("_hl"),
+        (F.col("data_ner") if provided_ner else null_s).alias("_dner"),
+        (
+            F.element_at(split_multivalue("row_heading_ner"), -1)
+            if provided_ner
+            else null_s
+        ).alias("_rner"),
+        (
+            F.element_at(split_multivalue("column_heading_ner"), -1)
+            if provided_ner
+            else null_s
+        ).alias("_cner"),
+        split_multivalue("row_heading").alias("_rparts"),
+        split_multivalue("column_heading").alias("_cparts"),
     )
-    # surrogate join key at mention grain — the hot downstream joins, windows
-    # and groupBys cluster on this long instead of three strings (see
-    # operators/features.py scale notes)
-    return d.unionByName(h.select(*d.columns))
+
+    def _st(role: str, mention, hl, ner):
+        return F.struct(
+            F.lit(role).alias("col_role"),
+            mention.alias("mention"),
+            hl.alias("hl"),
+            ner.alias("ner"),
+        )
+
+    structs = F.concat(
+        F.array(_st(ROLE_DATA, F.col("data"), F.col("_hl"), F.col("_dner"))),
+        F.transform(
+            "_rparts", lambda p: _st(ROLE_ROW, p, empty, F.col("_rner"))
+        ),
+        F.transform(
+            "_cparts", lambda p: _st(ROLE_COL, p, empty, F.col("_cner"))
+        ),
+    )
+    exploded = (
+        src.select("table_id", "row_idx", "col_idx", F.explode(structs).alias("m"))
+        .select("table_id", "row_idx", "col_idx", "m.*")
+        .filter(F.col("mention") != "")
+    )
+    win = F.struct(F.col("hl"), F.col("ner"))
+    return (
+        exploded.groupBy("table_id", "col_role", "mention")
+        .agg(F.max_by(win, F.struct("row_idx", "col_idx")).alias("_w"))
+        .select(
+            "table_id",
+            "col_role",
+            "mention",
+            normalize_entry("mention").alias("mention_norm"),
+            F.col("_w.hl").alias("heading_labels"),
+            *([F.col("_w.ner").alias("ner")] if provided_ner else []),
+        )
+        .filter(F.col("mention_norm") != "")
+        # surrogate join key at mention grain — the hot downstream joins,
+        # windows and groupBys cluster on this long instead of three strings
+        # (see operators/features.py scale notes)
+        .withColumn("mention_key", mention_skey())
+    )
 
 
 def entry_context(
