@@ -31,10 +31,38 @@ from pyspark.sql import DataFrame
 
 ENV_FLAG = "SPARK_GRAFT_RELIABLE_CHECKPOINT"
 ENV_DIR = "SPARK_GRAFT_CHECKPOINT_DIR"
+ENV_STORAGE = "SPARK_GRAFT_CUT_STORAGE"
 
 
 def reliable_enabled() -> bool:
     return os.environ.get(ENV_FLAG, "").strip().lower() in {"1", "true", "yes"}
+
+
+def _cut_storage_level():
+    """Storage level for localCheckpoint blocks (``SPARK_GRAFT_CUT_STORAGE``).
+
+    * ``mem_ser`` (default) — serialized MEMORY_AND_DISK (+
+      ``spark.rdd.compress`` from the session factory): blocks live as one
+      lz4-compressed buffer per partition.  Re-reads pay a decompress, but
+      decompression is per-core CPU while bus bandwidth is shared — on
+      multi-core executors this trades the resource that does NOT scale with
+      cores for the one that does, and shrinks the blocks' memory footprint
+      several-fold on text-heavy frames (canonical: 332 MB → 51 MB at 80k
+      pages).  Measured faster at every tested width: −2.6% wall at 4 cores,
+      −8% total bench at local[32].
+    * ``mem`` — deserialized MEMORY_AND_DISK: zero (de)serialization CPU;
+      only wins when a single task lane has the bus to itself.
+    """
+    mode = os.environ.get(ENV_STORAGE, "mem_ser").strip().lower()
+    if mode in {"mem", "default"}:
+        return None
+    from pyspark.storagelevel import StorageLevel
+
+    if mode == "mem_ser":
+        # PySpark 4.x naming: MEMORY_AND_DISK is the *serialized* level
+        # (matches Scala); the deserialized default is MEMORY_AND_DISK_DESER
+        return StorageLevel.MEMORY_AND_DISK
+    raise ValueError(f"unknown {ENV_STORAGE}={mode!r}; expected mem|mem_ser")
 
 
 def cut(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -51,4 +79,7 @@ def cut(df: DataFrame, eager: bool = True) -> DataFrame:
                 sc.setCheckpointDir(d)
         if sc.getCheckpointDir() is not None:
             return df.checkpoint(eager=eager)
+    level = _cut_storage_level()
+    if level is not None:
+        return df.localCheckpoint(eager=eager, storageLevel=level)
     return df.localCheckpoint(eager=eager)

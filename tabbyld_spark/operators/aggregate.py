@@ -77,20 +77,16 @@ def cta_vote(cea: DataFrame, canonical: DataFrame, kg_types: DataFrame) -> DataF
     """Majority dbo class of each column's winning DATA entities.
     → (table_id, column, class, votes)
 
-    Cells are pre-aggregated to distinct (table, column, value) grain with a
-    multiplicity count BEFORE the winner join: the hash aggregate partial-
-    combines map-side, so the shuffle and the join probe move one row per
-    distinct cell value instead of one per cell — at web scale a column
-    repeats its vocabulary across millions of rows, and per-cell join rows
-    are pure waste.  votes = Σ cnt is exactly the per-cell count."""
-    cells = (
-        canonical.select(
-            "table_id",
-            F.col("column_heading").alias("column"),
-            F.col("data").alias("mention"),
-        )
-        .groupBy("table_id", "column", "mention")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
+    The cell side joins at raw cell grain on purpose: a pre-aggregation to
+    distinct (table, column, value) + count was measured SLOWER here (+4s at
+    4 cores / 80k pages) because synthetic-crawl cell vocabulary is
+    near-unique, so the extra hash aggregate and second exchange bought no
+    reduction.  On a corpus whose columns repeat their vocabulary heavily,
+    reintroduce it (groupBy(table_id, column, mention).count() before the
+    join, votes = Σ cnt) — the trade is duplication-factor-dependent, not
+    universally right."""
+    cells = canonical.select(
+        "table_id", F.col("column_heading").alias("column"), F.col("data").alias("mention")
     )
     winners = cea.filter(F.col("col_role") == "DATA").select(
         "table_id", "mention", "entity"
@@ -99,7 +95,7 @@ def cta_vote(cea: DataFrame, canonical: DataFrame, kg_types: DataFrame) -> DataF
         cells.join(winners, ["table_id", "mention"])
         .join(kg_types.filter(F.col("class").startswith(DBO)), "entity")
         .groupBy("table_id", "column", "class")
-        .agg(F.sum("_cnt").alias("votes"))
+        .agg(F.count(F.lit(1)).alias("votes"))
     )
     w = Window.partitionBy("table_id", "column").orderBy(
         F.desc("votes"), F.asc("class")
@@ -115,18 +111,13 @@ def cpa_vote(cea: DataFrame, canonical: DataFrame, kg_triples: DataFrame) -> Dat
     """Majority KG predicate between each row's key entity (RowHeading winner)
     and its data entity, per (table, column) pair.
     → (table_id, col_a='RowHeading', col_b=column, pred, votes)"""
-    # same distinct-grain pre-aggregation as cta_vote: one row per distinct
-    # (table, row-part, column, value) combo with multiplicity, so the
-    # two winner joins and the kg_triples probe run at vocabulary grain
-    rows = (
-        canonical.select(
-            "table_id",
-            F.explode(split_multivalue("row_heading")).alias("row_mention"),
-            F.col("column_heading").alias("col_b"),
-            F.col("data").alias("data_mention"),
-        )
-        .groupBy("table_id", "row_mention", "col_b", "data_mention")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
+    # raw cell grain, same rationale as cta_vote (pre-aggregation to distinct
+    # combos measured slower on near-unique synthetic-crawl vocabulary)
+    rows = canonical.select(
+        "table_id",
+        F.explode(split_multivalue("row_heading")).alias("row_mention"),
+        F.col("column_heading").alias("col_b"),
+        F.col("data").alias("data_mention"),
     )
     row_w = cea.filter(F.col("col_role") == "ROW").select(
         "table_id", F.col("mention").alias("row_mention"), F.col("entity").alias("subj")
@@ -139,7 +130,7 @@ def cpa_vote(cea: DataFrame, canonical: DataFrame, kg_triples: DataFrame) -> Dat
         .join(data_w, ["table_id", "data_mention"])
         .join(kg_triples, ["subj", "obj"])
         .groupBy("table_id", "col_b", "pred")
-        .agg(F.sum("_cnt").alias("votes"))
+        .agg(F.count(F.lit(1)).alias("votes"))
     )
     w = Window.partitionBy("table_id", "col_b").orderBy(F.desc("votes"), F.asc("pred"))
     return (

@@ -64,6 +64,10 @@ def get_spark(
         # cache/TLB-hostile — measured 2.4x SLOWER (300s vs 127s, local[8],
         # 80k pages) than the same job on 8g; bigger is not better
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # compress serialized storage blocks (lz4): no-op for the default
+        # deserialized lineage-cut level, required for the mem_ser level
+        # (functions/lineage.py) to actually shrink block bytes
+        .config("spark.rdd.compress", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
