@@ -52,6 +52,7 @@ if topology == "local-cluster":
     # without disk spill at the official input size — the gate should
     # measure compute scaling, not penalize the baseline leg with I/O
     exec_mb = int(os.environ.get("SPARK_GRAFT_SCALE_EXEC_MB", "6144"))
+    io_codec = os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4")
     from pyspark.sql import SparkSession
     builder = (
         SparkSession.builder.appName(f"scale-{cores}")
@@ -63,6 +64,11 @@ if topology == "local-cluster":
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.executor.memory", f"{exec_mb}m")
         .config("spark.rdd.compress", "true")
+        .config("spark.io.compression.codec", io_codec)
+        # each emulated node is ONE core: size the executor JVM's GC/JIT
+        # thread pools for that, at BOTH cluster sizes (the envelope cpuset
+        # the JVM sees at startup is wider)
+        .config("spark.executor.extraJavaOptions", "-XX:ActiveProcessorCount=1")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "4g"))
         .config("spark.ui.enabled", "false")
     )
@@ -76,6 +82,54 @@ if topology == "local-cluster":
 else:
     spark = get_spark(f"scale-{cores}", cores=cores, shuffle_partitions=32)
 spark.sparkContext.setLogLevel("ERROR")
+
+if topology == "local-cluster" and os.environ.get("SPARK_GRAFT_SCALE_PIN", "pernode") == "pernode":
+    # Per-NODE pinning: executor JVM i (and every process it forks — python
+    # workers, pyspark.daemon) runs on exactly one dedicated core; the driver
+    # JVM + this python driver get core 0.  The outer envelope taskset alone
+    # lets the scheduler float work across the whole cpuset, which hands the
+    # 1-executor leg an effective 2-CPU budget (its python extract worker
+    # overlaps the idle driver core) but the 4-executor leg only 1.25x —
+    # per-node hardware must be IDENTICAL across cluster sizes for the
+    # efficiency ratio to mean anything.  Python daemons fork after pinning
+    # (first pandas-UDF stage) and inherit their executor's affinity.
+    import subprocess as _sp
+
+    def _is_descendant(pid: str, root: int) -> bool:
+        # stale executors from a PREVIOUS run match pgrep too (observed: a
+        # back-to-back screening run died on exactly that); only accept
+        # executor JVMs in THIS process tree (executors are children of the
+        # in-process LocalSparkCluster's driver JVM, a child of us)
+        try:
+            p = int(pid)
+            for _ in range(16):
+                if p == root:
+                    return True
+                with open(f"/proc/{p}/status") as f:
+                    p = int(next(l for l in f if l.startswith("PPid:")).split()[1])
+                if p <= 1:
+                    return False
+        except (OSError, StopIteration, ValueError):
+            return False
+        return False
+
+    deadline = time.time() + 120
+    pids = []
+    while time.time() < deadline:
+        pids = [p for p in _sp.run(["pgrep", "-f", "CoarseGrainedExecutorBackend"],
+                                   capture_output=True, text=True).stdout.split()
+                if _is_descendant(p, os.getpid())]
+        if len(pids) == cores:
+            break
+        time.sleep(0.5)
+    assert len(pids) == cores, f"expected {cores} executor JVMs, found {pids}"
+    for i, pid in enumerate(sorted(pids, key=int)):
+        _sp.run(["taskset", "-apc", str(i + 1), pid], check=True, stdout=_sp.DEVNULL)
+    me = str(os.getpid())
+    _sp.run(["taskset", "-apc", "0", me], check=True, stdout=_sp.DEVNULL)
+    jvm = _sp.run(["pgrep", "-P", me, "java"], capture_output=True, text=True).stdout.split()
+    for pid in jvm:
+        _sp.run(["taskset", "-apc", "0", pid], check=True, stdout=_sp.DEVNULL)
 kg = build_kg(seed=42)
 pages = gen_pages_df(spark, kg, n_pages=n_pages, seed=42, partitions=32).persist()
 n = pages.count()  # generation outside the timed section
@@ -117,13 +171,17 @@ def run(cores: int, n_pages: int) -> dict:
             "SPARK_GRAFT_SCALE_TOPOLOGY"
         ) == "local-cluster" else cores
         cpu_list = f"0-{pin_cores - 1}" if pin_cores > 1 else "0"
-        subprocess.run(
-            ["taskset", "-c", cpu_list, sys.executable, script, str(cores), str(n_pages), out],
-            check=True,
-            env=env,
-            stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
-        )
+        # keep the last stderr around for post-mortem (Spark noise is large,
+        # but a failed leg's traceback is otherwise lost)
+        errlog = f"/tmp/scale_check_{cores}c.err"
+        with open(errlog, "w") as errf:
+            subprocess.run(
+                ["taskset", "-c", cpu_list, sys.executable, script, str(cores), str(n_pages), out],
+                check=True,
+                env=env,
+                stdout=subprocess.DEVNULL,
+                stderr=errf,
+            )
         with open(out) as f:
             return json.load(f)
 

@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""job_profile.py variant for the scaling-gate topology: local-cluster
+(single-core executor JVMs + a driver core) with per-NODE cpu pinning,
+mirroring scale_check.py's official protocol exactly, plus the per-stage
+task-metric dump of tools/job_profile.py.
+
+Usage: taskset -c 0-<cores> python tools/job_profile_lc.py [cores] [n_pages]
+(the script re-pins executor JVMs to one core each and the driver to core 0
+itself; the outer taskset is just the envelope)
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from tabbyld_spark.fixtures.kg import build_kg
+from tabbyld_spark.fixtures.pages import gen_pages_df
+from tabbyld_spark.plans.pipeline import annotate_pages
+
+
+def build_lc_session(cores: int, app: str = "jobprof-lc"):
+    exec_mb = int(os.environ.get("SPARK_GRAFT_SCALE_EXEC_MB", "6144"))
+    io_codec = os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4")
+    from pyspark.sql import SparkSession
+
+    builder = (
+        SparkSession.builder.appName(app)
+        .master(f"local-cluster[{cores},1,{exec_mb}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.executor.memory", f"{exec_mb}m")
+        .config("spark.rdd.compress", "true")
+        .config("spark.io.compression.codec", io_codec)
+        .config("spark.executor.extraJavaOptions", "-XX:ActiveProcessorCount=1")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "4g"))
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "4098")
+    )
+    if os.path.isdir("/dev/shm"):
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= 16 * 1024**3:
+            os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+    spark = builder.getOrCreate()
+    # per-node pinning (see scale_check.py): executor i -> core i, driver -> 0
+    deadline = time.time() + 120
+    pids: list[str] = []
+    while time.time() < deadline:
+        pids = subprocess.run(
+            ["pgrep", "-f", "CoarseGrainedExecutorBackend"],
+            capture_output=True, text=True,
+        ).stdout.split()
+        if len(pids) == cores:
+            break
+        time.sleep(0.5)
+    assert len(pids) == cores, f"expected {cores} executor JVMs, found {pids}"
+    for i, pid in enumerate(sorted(pids, key=int)):
+        subprocess.run(["taskset", "-apc", str(i + 1), pid], check=True,
+                       stdout=subprocess.DEVNULL)
+    me = str(os.getpid())
+    subprocess.run(["taskset", "-apc", "0", me], check=True,
+                   stdout=subprocess.DEVNULL)
+    for pid in subprocess.run(["pgrep", "-P", me, "java"],
+                              capture_output=True, text=True).stdout.split():
+        subprocess.run(["taskset", "-apc", "0", pid], check=True,
+                       stdout=subprocess.DEVNULL)
+    return spark
+
+
+def main():
+    cores = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 40000
+    spark = build_lc_session(cores)
+    sc = spark.sparkContext
+    sc.setLogLevel("ERROR")
+
+    kg = build_kg(seed=42)
+    pages = gen_pages_df(spark, kg, n_pages=n_pages, seed=42, partitions=32).persist()
+    pages.count()
+    kgs = kg.to_spark(spark)
+    warm = gen_pages_df(spark, kg, n_pages=1500, seed=7, partitions=16)
+    annotate_pages(warm, kgs, fuzzy_enabled=True).triples.count()
+
+    tracker = sc.statusTracker()
+    before_ids = set(tracker.getJobIdsForGroup() or [])
+    t0 = time.time()
+    res = annotate_pages(pages, kgs, fuzzy_enabled=True)
+    n_triples = res.triples.count()
+    wall = time.time() - t0
+
+    store = sc._jsc.sc().statusStore()
+    jobs = []
+    it = store.jobsList(None)
+    for i in range(it.size()):
+        j = it.apply(i)
+        jid = j.jobId()
+        if jid in before_ids:
+            continue
+        sub = j.submissionTime()
+        comp = j.completionTime()
+        if sub.isEmpty() or comp.isEmpty():
+            continue
+        sub_ms = sub.get().getTime()
+        comp_ms = comp.get().getTime()
+        try:
+            nm = j.name()[:80]
+        except Exception:
+            nm = ""
+        jobs.append({"id": jid, "sub": sub_ms, "dur": (comp_ms - sub_ms) / 1000.0,
+                     "tasks": j.numCompletedTasks(), "name": nm})
+    jobs.sort(key=lambda x: x["sub"])
+    sum_job_wall = sum(j["dur"] for j in jobs)
+    sum_tasks = sum(j["tasks"] for j in jobs)
+
+    import datetime
+    import urllib.request
+    ui = sc.uiWebUrl
+    app_id = sc.applicationId
+    min_sub = min((j["sub"] for j in jobs), default=0)
+    stages = []
+    with urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+    ) as r:
+        raw = json.load(r)
+    for s in raw:
+        sub = s.get("firstTaskLaunchedTime") or s.get("submissionTime")
+        if sub:
+            sub_ms = datetime.datetime.strptime(
+                sub.replace("GMT", "+0000"), "%Y-%m-%dT%H:%M:%S.%f%z"
+            ).timestamp() * 1000
+            if sub_ms < min_sub:
+                continue
+        stages.append({
+            "stage": s["stageId"],
+            "tasks": s["numCompleteTasks"],
+            "run_s": round(s["executorRunTime"] / 1000.0, 2),
+            "cpu_s": round(s["executorCpuTime"] / 1e9, 2),
+            "gc_s": round(s.get("jvmGcTime", 0) / 1000.0, 2),
+            "spill_mb": round((s["memoryBytesSpilled"] + s["diskBytesSpilled"]) / 1e6, 1),
+            "sh_r_mb": round((s.get("shuffleReadBytes") or 0) / 1e6, 1),
+            "sh_w_mb": round((s.get("shuffleWriteBytes") or 0) / 1e6, 1),
+            "in_mb": round(s["inputBytes"] / 1e6, 1),
+            "name": s["name"][:70],
+        })
+    tot_run = sum(x["run_s"] for x in stages)
+    tot_cpu = sum(x["cpu_s"] for x in stages)
+    tot_gc = sum(x["gc_s"] for x in stages)
+    tot_spill = sum(x["spill_mb"] for x in stages)
+
+    print(json.dumps({
+        "cores": cores, "n_pages": n_pages, "n_triples": n_triples,
+        "topology": "local-cluster-pinned",
+        "wall_sec": round(wall, 2),
+        "n_jobs": len(jobs),
+        "sum_job_wall_sec": round(sum_job_wall, 2),
+        "inter_job_gap_sec": round(wall - sum_job_wall, 2),
+        "n_tasks": sum_tasks,
+        "sum_task_run_sec": round(tot_run, 2),
+        "sum_task_cpu_sec": round(tot_cpu, 2),
+        "sum_gc_sec": round(tot_gc, 2),
+        "sum_spill_mb": round(tot_spill, 1),
+        "utilization": round(tot_run / (wall * cores), 3) if wall else 0,
+        "top_jobs": [
+            {"id": j["id"], "dur": round(j["dur"], 2), "tasks": j["tasks"], "name": j["name"]}
+            for j in sorted(jobs, key=lambda x: -x["dur"])[:12]
+        ],
+        "top_stages": sorted(stages, key=lambda x: -x["run_s"])[:20],
+    }))
+
+
+if __name__ == "__main__":
+    main()
