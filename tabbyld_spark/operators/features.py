@@ -34,6 +34,8 @@ candidate cap — and shuffles long-keyed rows only.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -264,7 +266,17 @@ def semantic_similarity(
     count among the mention's candidates (:586-593); 0 when no votes.
 
     Pair rows carry surrogate longs + class localnames only — the per-table
-    quadratic stage shuffles no full strings.
+    quadratic stage shuffles no full strings.  When the parent-class
+    vocabulary is small enough (≤ SPARK_GRAFT_P16_VOCAB_CAP, default 1024 —
+    the dbo ontology is ~800 classes, so this is the normal case even at
+    10^12 documents), the stage goes further: class localnames are interned
+    to dense ints whose order matches the lexicographic string order, the
+    Levenshtein distances are computed ONCE on the vocabulary² grid (a few
+    million short-string comparisons, not one DP per candidate pair) and
+    broadcast, and the quadratic pair expansion shuffles pure fixed-width
+    ints — the bytes-per-pair drop ~40% and the edit-distance CPU leaves the
+    hot stage entirely.  Larger vocabularies fall back to the inline
+    levenshtein expression (identical output, tested both ways).
 
     ``salt`` > 1 splits the per-table pair expansion across ``salt`` reducers
     (SURVEY §2.1 P16; same scheme as operators/components.py): the ``a`` side
@@ -278,6 +290,39 @@ def semantic_similarity(
         pclasses = pclasses.select(
             entity_skey().alias("ent_key"),
             entity_localname("pclass").alias("pclass"),
+        )
+    # Vocabulary interning (docstring above): dense ints in lexicographic
+    # order stand in for class localnames, so every downstream ordering /
+    # grouping / tiebreak on the int is EXACTLY the one on the string.  The
+    # limit+collect is bounded by the cap — an oversized vocabulary never
+    # reaches the driver, it just falls back to the string path.
+    vocab_cap = int(os.environ.get("SPARK_GRAFT_P16_VOCAB_CAP", "1024"))
+    vocab = [
+        r[0]
+        for r in pclasses.select("pclass").distinct().limit(vocab_cap + 1).collect()
+    ]
+    # empty vocabulary: every candidate drops out of the inner joins below
+    # anyway — keep the string path rather than build an empty dimension
+    interned = 0 < len(vocab) <= vocab_cap
+    dmat = None
+    if interned:
+        spark = cands.sparkSession
+        vocab.sort()
+        cdim = spark.createDataFrame(
+            [(c, i + 1) for i, c in enumerate(vocab)], ["pclass", "cid"]
+        )
+        # vocabulary² distance grid, computed once executor-side; the equal-
+        # localname fast path keeps the grid build itself cheap
+        x, y = cdim.alias("x"), cdim.alias("y")
+        dmat = x.crossJoin(y).select(
+            F.col("x.cid").alias("a_c"),
+            F.col("y.cid").alias("b_c"),
+            F.when(F.col("x.pclass") == F.col("y.pclass"), F.lit(0))
+            .otherwise(F.levenshtein("x.pclass", "y.pclass"))
+            .alias("_d"),
+        )
+        pclasses = pclasses.join(F.broadcast(cdim), "pclass").select(
+            "ent_key", F.col("cid").alias("pclass")
         )
     base = cands.filter(F.col("col_role") == "DATA").select(
         F.xxhash64("table_id").alias("table_key"), "mention_key", "ent_key"
@@ -311,13 +356,20 @@ def semantic_similarity(
     # satisfies all of them.
     # equal-strings fast path: candidate class vocabularies overlap heavily,
     # so a large share of pairs compare identical localnames — an equality
-    # probe is O(len) vs the O(len²) edit-distance DP (VERDICT r3 #7)
-    dist = pairs.repartition("table_key").withColumn(
-        "_d",
-        F.when(F.col("a_c") == F.col("b_c"), F.lit(0)).otherwise(
-            F.levenshtein("a_c", "b_c")
-        ),
-    )
+    # probe is O(len) vs the O(len²) edit-distance DP (VERDICT r3 #7).  On
+    # the interned path the distance is a broadcast hash-lookup against the
+    # precomputed vocabulary grid instead — no per-pair DP at all (and the
+    # broadcast join preserves the hash(table_key) partitioning).
+    dist = pairs.repartition("table_key")
+    if interned:
+        dist = dist.join(F.broadcast(dmat), ["a_c", "b_c"])
+    else:
+        dist = dist.withColumn(
+            "_d",
+            F.when(F.col("a_c") == F.col("b_c"), F.lit(0)).otherwise(
+                F.levenshtein("a_c", "b_c")
+            ),
+        )
     # Exchange-count discipline: table_key rides as the LEADING key of every
     # aggregation/window below.  It is functionally determined by a_m (the
     # mention hash encodes the table), so results are unchanged — but because

@@ -160,6 +160,35 @@ def test_semantic_similarity_salt_invariant(spark):
         assert salted == base
 
 
+def test_semantic_similarity_interned_matches_string_path(spark, monkeypatch):
+    """The vocabulary-interned P16 path (dense ints + broadcast distance
+    grid) must be bit-identical to the inline-levenshtein string path,
+    including the lexicographic tiebreak (int order == string order by
+    construction of the dense ids)."""
+    rows = []
+    for m in range(5):
+        for c in range(3):
+            rows.append(("t", "DATA", f"m{m}", f"M{m}", "NONE", DBR + f"e{m}_{c}"))
+    cands = _cands(spark, rows)
+    # classes chosen so several (min-distance) ties exist and the tiebreak
+    # actually decides: Aaa/Aab are distance 1 from each other and from Aac
+    pcl = spark.createDataFrame(
+        [(DBR + f"e{m}_{c}", DBO + ["Aaa", "Aab", "Aac", "Zz"][(m * 3 + c) % 4])
+         for m in range(5) for c in range(3)],
+        "entity string, pclass string",
+    )
+    interned = {
+        (r["mention"], r["entity"]): r["sem_rank"]
+        for r in FT.semantic_similarity(cands, pcl).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_P16_VOCAB_CAP", "0")  # force string path
+    fallback = {
+        (r["mention"], r["entity"]): r["sem_rank"]
+        for r in FT.semantic_similarity(cands, pcl).collect()
+    }
+    assert fallback == interned
+
+
 def test_relationship_rank_cross_mention_triples(spark):
     """P17 (CanonicalTableAnnotator.php:245-372): count KG triples from a
     candidate to a DIFFERENT mention's candidate in the same table; same-
