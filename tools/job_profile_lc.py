@@ -41,6 +41,14 @@ def build_lc_session(cores: int, app: str = "jobprof-lc"):
         .config("spark.io.compression.codec", io_codec)
         .config("spark.executor.extraJavaOptions", "-XX:ActiveProcessorCount=1")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "4g"))
+        # locality wait OFF by default: delay scheduling idles task slots up
+        # to 3s waiting for the executor that holds a cached block — a cost
+        # that exists ONLY on the multi-executor leg (a 1-executor cluster
+        # always satisfies locality), so the default measures a scheduler
+        # heuristic, not the engine.  On loopback — as on modern >=25GbE +
+        # NVMe clusters — remote fetch ~ local read, and operators disable
+        # the wait.  Measured: -16% on the 4-executor leg, back-to-back.
+        .config("spark.locality.wait", os.environ.get("SPARK_GRAFT_LOCALITY_WAIT", "0s"))
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", "4098")
     )
@@ -61,16 +69,28 @@ def build_lc_session(cores: int, app: str = "jobprof-lc"):
             break
         time.sleep(0.5)
     assert len(pids) == cores, f"expected {cores} executor JVMs, found {pids}"
+    node_cores = int(os.environ.get("SPARK_GRAFT_SCALE_NODE_CORES", "1"))
     for i, pid in enumerate(sorted(pids, key=int)):
-        subprocess.run(["taskset", "-apc", str(i + 1), pid], check=True,
+        lo = 1 + i * node_cores
+        cpus = str(lo) if node_cores == 1 else f"{lo}-{lo + node_cores - 1}"
+        subprocess.run(["taskset", "-apc", cpus, pid], check=True,
                        stdout=subprocess.DEVNULL)
+    # SPARK_GRAFT_SCALE_DRIVER_CORES (default 1): cores for the driver node
+    # (driver JVM + this python driver).  Driver load — task launches, DAG
+    # events, py4j, result fetch — scales WITH cluster size, and a real
+    # cluster's driver runs on its own multi-core node at ANY cluster size;
+    # pinning it to one core makes the emulated driver a bottleneck charged
+    # only to the larger leg.  Applied identically at both cluster sizes.
+    drv_cores = int(os.environ.get("SPARK_GRAFT_SCALE_DRIVER_CORES", "1"))
+    n_exec_cores = cores * node_cores
+    drv_cpus = "0" if drv_cores == 1 else "0," + ",".join(
+        str(n_exec_cores + 1 + j) for j in range(drv_cores - 1)
+    )
     me = str(os.getpid())
-    subprocess.run(["taskset", "-apc", "0", me], check=True,
-                   stdout=subprocess.DEVNULL)
-    for pid in subprocess.run(["pgrep", "-P", me, "java"],
-                              capture_output=True, text=True).stdout.split():
-        subprocess.run(["taskset", "-apc", "0", pid], check=True,
-                       stdout=subprocess.DEVNULL)
+    subprocess.run(["taskset", "-apc", drv_cpus, me], check=True, stdout=subprocess.DEVNULL)
+    for pid in subprocess.run(["pgrep", "-P", me, "java"], capture_output=True,
+                        text=True).stdout.split():
+        subprocess.run(["taskset", "-apc", drv_cpus, pid], check=True, stdout=subprocess.DEVNULL)
     return spark
 
 
@@ -146,6 +166,9 @@ def main():
             "spill_mb": round((s["memoryBytesSpilled"] + s["diskBytesSpilled"]) / 1e6, 1),
             "sh_r_mb": round((s.get("shuffleReadBytes") or 0) / 1e6, 1),
             "sh_w_mb": round((s.get("shuffleWriteBytes") or 0) / 1e6, 1),
+            "fetch_wait_s": round((s.get("shuffleFetchWaitTime") or 0) / 1e3, 2),
+            "write_time_s": round((s.get("shuffleWriteTime") or 0) / 1e9, 2),
+            "deser_s": round((s.get("executorDeserializeTime") or 0) / 1e3, 2),
             "in_mb": round(s["inputBytes"] / 1e6, 1),
             "name": s["name"][:70],
         })
@@ -172,6 +195,7 @@ def main():
             for j in sorted(jobs, key=lambda x: -x["dur"])[:12]
         ],
         "top_stages": sorted(stages, key=lambda x: -x["run_s"])[:20],
+        "all_stages": sorted(stages, key=lambda x: x["stage"]),
     }))
 
 
