@@ -31,7 +31,8 @@ def build_lc_session(cores: int, app: str = "jobprof-lc"):
     builder = (
         SparkSession.builder.appName(app)
         .master(f"local-cluster[{cores},1,{exec_mb}]")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS", "32"))
         .config("spark.sql.adaptive.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
@@ -39,7 +40,11 @@ def build_lc_session(cores: int, app: str = "jobprof-lc"):
         .config("spark.executor.memory", f"{exec_mb}m")
         .config("spark.rdd.compress", "true")
         .config("spark.io.compression.codec", io_codec)
-        .config("spark.executor.extraJavaOptions", "-XX:ActiveProcessorCount=1")
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:ActiveProcessorCount="
+            + os.environ.get("SPARK_GRAFT_SCALE_NODE_CORES", "1"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "4g"))
         # locality wait OFF by default: delay scheduling idles task slots up
         # to 3s waiting for the executor that holds a cached block — a cost
