@@ -266,17 +266,19 @@ def semantic_similarity(
     count among the mention's candidates (:586-593); 0 when no votes.
 
     Pair rows carry surrogate longs + class localnames only — the per-table
-    quadratic stage shuffles no full strings.  When the parent-class
-    vocabulary is small enough (≤ SPARK_GRAFT_P16_VOCAB_CAP, default 1024 —
-    the dbo ontology is ~800 classes, so this is the normal case even at
-    10^12 documents), the stage goes further: class localnames are interned
-    to dense ints whose order matches the lexicographic string order, the
-    Levenshtein distances are computed ONCE on the vocabulary² grid (a few
-    million short-string comparisons, not one DP per candidate pair) and
-    broadcast, and the quadratic pair expansion shuffles pure fixed-width
-    ints — the bytes-per-pair drop ~40% and the edit-distance CPU leaves the
-    hot stage entirely.  Larger vocabularies fall back to the inline
-    levenshtein expression (identical output, tested both ways).
+    quadratic stage shuffles no full strings.  Optionally
+    (``SPARK_GRAFT_P16_VOCAB_CAP`` > 0, default OFF) class localnames are
+    interned to dense ints whose order matches the lexicographic string
+    order, the Levenshtein distances are computed once on the vocabulary²
+    grid and broadcast, and the pair expansion shuffles fixed-width ints —
+    ~40% fewer bytes per pair, no per-pair edit-distance DP.  That trade
+    only pays where shuffle BYTES are the constraint (network-bound
+    clusters; the dbo ontology is ~800 classes so the grid stays tiny): on
+    this sandbox the two extra broadcast joins + the vocabulary collect
+    cost more than the inline ``levenshtein`` they replace (back-to-back
+    sf0.1 A/B: 31.6 s vs 47.5 s pipeline wall), so the flag defaults off.
+    Output is bit-identical on both paths (pytest-enforced, including the
+    lexicographic tiebreak).
 
     ``salt`` > 1 splits the per-table pair expansion across ``salt`` reducers
     (SURVEY §2.1 P16; same scheme as operators/components.py): the ``a`` side
@@ -296,11 +298,16 @@ def semantic_similarity(
     # grouping / tiebreak on the int is EXACTLY the one on the string.  The
     # limit+collect is bounded by the cap — an oversized vocabulary never
     # reaches the driver, it just falls back to the string path.
-    vocab_cap = int(os.environ.get("SPARK_GRAFT_P16_VOCAB_CAP", "1024"))
-    vocab = [
-        r[0]
-        for r in pclasses.select("pclass").distinct().limit(vocab_cap + 1).collect()
-    ]
+    vocab_cap = int(os.environ.get("SPARK_GRAFT_P16_VOCAB_CAP", "0"))
+    vocab = (
+        [
+            r[0]
+            for r in pclasses.select("pclass").distinct()
+            .limit(vocab_cap + 1).collect()
+        ]
+        if vocab_cap > 0
+        else []
+    )
     # empty vocabulary: every candidate drops out of the inner joins below
     # anyway — keep the string path rather than build an empty dimension
     interned = 0 < len(vocab) <= vocab_cap

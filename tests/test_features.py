@@ -177,11 +177,12 @@ def test_semantic_similarity_interned_matches_string_path(spark, monkeypatch):
          for m in range(5) for c in range(3)],
         "entity string, pclass string",
     )
+    monkeypatch.setenv("SPARK_GRAFT_P16_VOCAB_CAP", "1024")  # interned path
     interned = {
         (r["mention"], r["entity"]): r["sem_rank"]
         for r in FT.semantic_similarity(cands, pcl).collect()
     }
-    monkeypatch.setenv("SPARK_GRAFT_P16_VOCAB_CAP", "0")  # force string path
+    monkeypatch.setenv("SPARK_GRAFT_P16_VOCAB_CAP", "0")  # default string path
     fallback = {
         (r["mention"], r["entity"]): r["sem_rank"]
         for r in FT.semantic_similarity(cands, pcl).collect()
