@@ -775,6 +775,27 @@ def q_sti_triples(spark, sf_dir):
     )
 
 
+def q_owl(spark, sf_dir):
+    """P25 OWL ontology emission (operators/export.py:owl_triples ←
+    /root/reference/components/OWLCodeGenerator.php:84-232) as (subj, pred,
+    obj) axiom rows over the exact-path CEA/CTA/CPA: CTA classes +
+    rdfs:subClassOf parents, CPA object properties + rdfs:range, per-column
+    owl:DatatypeProperty with xsd sniffing from the winning literal
+    instance, CEA named individuals.  SQL-twinned end-to-end through the
+    same mention→candidate→feature→vote chain (fixtures/sti_sql.py
+    _owl_ctes)."""
+    from tabbyld_spark.operators.export import owl_triples
+    from tabbyld_spark.plans.pipeline import annotate_canonical
+
+    kg = {
+        name: _sti_t(spark, name)
+        for name in ("kg_labels", "kg_types", "kg_subclass", "kg_triples")
+    }
+    canonical = _sti_t(spark, "canonical")
+    res = annotate_canonical(canonical, kg, provided_ner=True, fuzzy_enabled=False)
+    return owl_triples(res.cea, res.cta, res.cpa, kg["kg_subclass"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_filter_project": q_filter_project,
@@ -826,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_recall": q_ann_recall,
         "q_sti_cea": q_sti_cea,
         "q_sti_triples": q_sti_triples,
+        "q_owl": q_owl,
     }
 
 

@@ -357,6 +357,68 @@ def _triples_ctes(canonical: str) -> str:
     """
 
 
+def _owl_ctes() -> str:
+    """OWL ontology emission (P25) on top of the ``cea``/``cta``/``cpa`` CTEs
+    — the SQL twin of operators/export.py owl_triples (OWLCodeGenerator.php
+    semantics as (subj, pred, obj) axiom rows).  Mirrors the Spark side's
+    union structure exactly: per-branch DISTINCT, no global dedup, xsd type
+    sniffed from the winning literal instance URI (:38-50)."""
+    from tabbyld_spark.operators.export import OWL, RDF_TYPE, RDFS, XSD
+
+    lit_uris = ", ".join(f"'{u}'" for u in sorted(NER_INSTANCE.values()))
+    xsd_case = (
+        "CASE entity "
+        + " ".join(
+            f"WHEN '{NER_INSTANCE[label]}' THEN '{XSD}{t}'"
+            for label, t in (
+                ("NUMBER", "double"),
+                ("PERCENT", "double"),
+                ("MONEY", "double"),
+                ("DATE", "date"),
+                ("TIME", "time"),
+            )
+        )
+        + f" ELSE '{XSD}string' END"
+    )
+    return f"""
+        owl_dt AS (
+            SELECT DISTINCT table_id || '#' || col_role AS p, {xsd_case} AS xsd
+            FROM cea WHERE entity IN ({lit_uris})
+        ),
+        owl AS (
+            SELECT DISTINCT class AS subj, '{RDF_TYPE}' AS pred,
+                   '{OWL}Class' AS obj
+            FROM cta
+            UNION ALL
+            SELECT DISTINCT c.class AS subj, '{RDFS}subClassOf' AS pred,
+                   s.parent AS obj
+            FROM (SELECT DISTINCT class FROM cta) c
+            JOIN kg_subclass s ON s.child = c.class AND s.depth = 1
+            UNION ALL
+            SELECT DISTINCT p.pred AS subj, '{RDF_TYPE}' AS pred,
+                   '{OWL}ObjectProperty' AS obj
+            FROM cpa p
+            UNION ALL
+            SELECT DISTINCT p.pred AS subj, '{RDFS}range' AS pred,
+                   r.class AS obj
+            FROM cpa p
+            JOIN cta r ON r.table_id = p.table_id AND r.colname = p.col_b
+            UNION ALL
+            SELECT p AS subj, '{RDF_TYPE}' AS pred,
+                   '{OWL}DatatypeProperty' AS obj
+            FROM owl_dt
+            UNION ALL
+            SELECT p AS subj, '{RDFS}range' AS pred, xsd AS obj
+            FROM owl_dt WHERE xsd IS NOT NULL
+            UNION ALL
+            SELECT DISTINCT entity AS subj, '{RDF_TYPE}' AS pred,
+                   '{OWL}NamedIndividual' AS obj
+            FROM cea
+            WHERE entity NOT IN ({lit_uris}) AND starts_with(entity, 'http')
+        )
+    """
+
+
 def _annotate_rows_ctes(canonical: str) -> str:
     """P21 (SpreadsheetController.php:569-684) on top of ``cea``: rebuild each
     canonical row substituting winning URIs; multi-valued headings re-packed
@@ -471,6 +533,15 @@ def sti_oracle_queries(fx: str) -> dict[str, str]:
             {_cea_ctes(canon)},
             {_triples_ctes(canon)}
             SELECT subj, pred, obj, true AS covered FROM triples
+        """,
+        "q_owl": f"""
+            WITH {_fx_tables(fx, 'kg_labels', 'kg_types', 'kg_subclass', 'kg_triples')},
+            {sql_mentions(canon)},
+            {sql_candidates('kg_labels')},
+            {_cea_ctes(canon)},
+            {_triples_ctes(canon)},
+            {_owl_ctes()}
+            SELECT subj, pred, obj FROM owl
         """,
         "q_annotate_rows": f"""
             WITH {_fx_tables(fx, 'kg_labels', 'kg_types', 'kg_subclass', 'kg_triples')},

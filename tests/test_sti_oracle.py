@@ -25,7 +25,9 @@ def test_fixture_materializes_and_is_idempotent(fx):
     assert n > 300
 
 
-@pytest.mark.parametrize("name", ["q_ner_class_rank", "q_semantic_similarity", "q_sti_cea"])
+@pytest.mark.parametrize(
+    "name", ["q_ner_class_rank", "q_semantic_similarity", "q_sti_cea", "q_owl"]
+)
 def test_spark_matches_duckdb(spark, fx, name):
     import __spark_entry__ as E
 

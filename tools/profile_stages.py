@@ -42,7 +42,15 @@ def main():
         warm = gen_pages_df(spark, kg, n_pages=1500, seed=7, partitions=16)
         annotate_pages(warm, kgs, fuzzy_enabled=True).triples.count()
 
+    # EXACT composition of plans/pipeline.annotate_pages/annotate_canonical:
+    # fused P10+P11, count-gated join-backs (feat_rows), cut() lineage
+    # boundaries — an un-fused/un-gated composition here overstates the S4
+    # stages (the ungated join-backs fall back to sort-merge) and misleads
+    # optimization; keep this in lockstep with pipeline.py
+    import os as _os
+
     from tabbyld_spark.extract.html import extract_pages
+    from tabbyld_spark.functions.lineage import cut
     from tabbyld_spark.functions.ner import attach_ner, build_gazetteer
     from tabbyld_spark.operators import features as FT
     from tabbyld_spark.operators.aggregate import aggregate_ranks, cea_top1, cpa_vote, cta_vote
@@ -52,48 +60,47 @@ def main():
     from tabbyld_spark.operators.mentions import all_mentions, entry_context
     from tabbyld_spark.operators.triples import emit_triples
 
+    p16_salt = int(_os.environ.get("SPARK_GRAFT_P16_SALT", "1"))
     times = {}
     T0 = time.time()
     t0 = time.time()
 
-    canonical = tables_to_canonical(extract_pages(pages)).localCheckpoint()
+    canonical = cut(tables_to_canonical(extract_pages(pages)))
     t0 = mark(times, "S1_extract_canonical", t0)
 
     mentions = all_mentions(canonical, provided_ner=False)
     gaz = build_gazetteer(kgs["kg_labels"], kgs["kg_types"], kgs["kg_subclass"])
-    mentions = attach_ner(mentions, gaz).localCheckpoint()
+    mentions = cut(attach_ner(mentions, gaz))
     t0 = mark(times, "S2_mentions_ner", t0)
 
-    fuzzy = lsh_fuzzy_candidates(mentions, kgs["kg_labels"]).localCheckpoint()
-    t0 = mark(times, "S3a_lsh_fuzzy", t0)
-
+    fuzzy = lsh_fuzzy_candidates(mentions, kgs["kg_labels"])
     literals, cands = generate_candidates(mentions, kgs["kg_labels"], fuzzy=fuzzy)
-    cands = cands.localCheckpoint()
-    literals = literals.localCheckpoint()
-    t0 = mark(times, "S3b_candidates", t0)
+    cands = cut(cands)
+    n_cands = cands.count()
+    t0 = mark(times, "S3_candidates_fuzzy", t0)
 
-    cands = FT.ner_class_rank(cands, kgs["kg_types"], kgs["kg_subclass"])
-    cands = cands.localCheckpoint()
-    t0 = mark(times, "S4a_ner_rank", t0)
-
-    cands = FT.heading_rank(cands, kgs["kg_types"]).localCheckpoint()
-    t0 = mark(times, "S4b_heading_rank", t0)
+    cands = cut(FT.base_feature_ranks(
+        cands, kgs["kg_types"], kgs["kg_subclass"], feat_rows=n_cands
+    ))
+    t0 = mark(times, "S4ab_base_ranks", t0)
 
     ectx = entry_context(canonical)
     kctx = FT.entity_context(cands, kgs["kg_triples"])
-    cands = FT.context_similarity(cands, ectx, kctx).localCheckpoint()
+    cands = cut(FT.context_similarity(cands, ectx, kctx, feat_rows=n_cands))
     t0 = mark(times, "S4c_context_sim", t0)
 
     pcl = FT.parent_classes(cands, kgs["kg_triples"])
-    cands = FT.semantic_similarity(cands, pcl).localCheckpoint()
+    cands = cut(FT.semantic_similarity(
+        cands, pcl, salt=p16_salt, feat_rows=n_cands
+    ))
     t0 = mark(times, "S4d_semantic_sim", t0)
 
     scored = aggregate_ranks(cands)
-    cea = cea_top1(scored, literals).localCheckpoint()
+    cea = cut(cea_top1(scored, literals))
     t0 = mark(times, "S5a_cea", t0)
 
-    cta = cta_vote(cea, canonical, kgs["kg_types"]).localCheckpoint()
-    cpa = cpa_vote(cea, canonical, kgs["kg_triples"]).localCheckpoint()
+    cta = cut(cta_vote(cea, canonical, kgs["kg_types"]))
+    cpa = cut(cpa_vote(cea, canonical, kgs["kg_triples"]))
     t0 = mark(times, "S5b_cta_cpa", t0)
 
     triples = emit_triples(cea, cta, cpa)
