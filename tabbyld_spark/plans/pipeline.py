@@ -102,8 +102,12 @@ def annotate_canonical(
 
     scored = aggregate_ranks(cands)
     cea = cut(cea_top1(scored, literals))
-    cta = cta_vote(cea, canonical, kg["kg_types"])
-    cpa = cpa_vote(cea, canonical, kg["kg_triples"])
+    # exact count of the just-checkpointed CEA: gates a broadcast of the
+    # winner sides in the CTA/CPA votes so the wide canonical scans join
+    # without shuffling (scans the materialized blocks — cheap)
+    n_cea = cea.count()
+    cta = cta_vote(cea, canonical, kg["kg_types"], cea_rows=n_cea)
+    cpa = cpa_vote(cea, canonical, kg["kg_triples"], cea_rows=n_cea)
     triples = emit_triples(cea, cta, cpa)
     return AnnotationResult(canonical, mentions, scored, cea, cta, cpa, triples)
 

@@ -3,12 +3,16 @@ oracle_sql() twin must match DuckDB on row count, column names, and an
 order-insensitive value multiset (stringified, so float formatting matters
 — queries round where summation order could differ)."""
 
+import os
+
 import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.001"
+# sf0.001 keeps the suite fast; export SPARK_GRAFT_CONTRACT_SF_DIR=/root/
+# testdata/sf0.01 to replicate the driver's exact scale before a round ends
+SF_DIR = os.environ.get("SPARK_GRAFT_CONTRACT_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",

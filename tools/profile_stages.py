@@ -97,10 +97,11 @@ def main():
 
     scored = aggregate_ranks(cands)
     cea = cut(cea_top1(scored, literals))
+    n_cea = cea.count()
     t0 = mark(times, "S5a_cea", t0)
 
-    cta = cut(cta_vote(cea, canonical, kgs["kg_types"]))
-    cpa = cut(cpa_vote(cea, canonical, kgs["kg_triples"]))
+    cta = cut(cta_vote(cea, canonical, kgs["kg_types"], cea_rows=n_cea))
+    cpa = cut(cpa_vote(cea, canonical, kgs["kg_triples"], cea_rows=n_cea))
     t0 = mark(times, "S5b_cta_cpa", t0)
 
     triples = emit_triples(cea, cta, cpa)
