@@ -166,6 +166,26 @@ def run_audit(spark, sf: str = "/root/testdata/sf0.01") -> list[tuple[str, bool,
         "Exchange hashpartitioning" not in p and "Window" not in p,
         "centroid argmax is in-expression; no hash exchange or window in the assignment subtree",
     )
+
+    # 8. CTA/CPA vote gating: with an exact (small) CEA count the winner side
+    # broadcasts, so the wide canonical cell scan never sorts/shuffles for the
+    # vote join; with a count over the cap the gate must fall back to
+    # sort-merge (force-broadcasting an oversized frame is the driver-OOM
+    # case the gate exists to prevent)
+    from tabbyld_spark.operators.aggregate import cta_vote
+
+    p = plan_of(cta_vote(res.cea, canonical, kgs["kg_types"], cea_rows=100))
+    check(
+        "broadcast/cta-vote-gated",
+        "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+        "small exact CEA count ⇒ winner side broadcasts, no sort-merge",
+    )
+    p = plan_of(cta_vote(res.cea, canonical, kgs["kg_types"], cea_rows=10**9))
+    check(
+        "merge-fallback/cta-vote-gated",
+        "SortMergeJoin" in p,
+        "oversized exact CEA count ⇒ winners demote to sort-merge, not broadcast",
+    )
     return results
 
 
