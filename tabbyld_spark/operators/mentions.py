@@ -261,34 +261,58 @@ def entry_context(
     # (the last term removes pairs matching on both headings, which the
     # reference's single `if` counts once).
     #
-    # Plan shape: per heading key set, ONE groupBy pre-aggregates per-value
-    # counts and a window over the (already co-partitioned) group computes
-    # the group's distinct-value count; groups under the cap collect their
-    # (value, count) structs and pair-expand with a double explode — no join
-    # — while oversized groups (a pathological table where one heading value
-    # spans millions of distinct DATA values would otherwise build one giant
+    # Plan shape: ONE grouping-sets aggregate computes the per-value counts
+    # of all three heading key sets in a single canonical pass — Catalyst has
+    # no cross-operator CSE, so the previous shape (a shared base aggregate
+    # re-read by three signed streams) re-executed the full canonical scan +
+    # base shuffle once per stream; the Expand triples rows BEFORE the
+    # map-side partial aggregate, so the one exchange carries just the three
+    # count tables (back-to-back sf0.1 A/B: ~3.6 s → ~2.9 s, bit-identical
+    # output; at corpus scale it is 1 wide scan instead of 3).  Per stream, a
+    # window over the (re-clustered) group computes the group's
+    # distinct-value count; groups under the cap collect their (value, count)
+    # structs and pair-expand with a double explode — no join — while
+    # oversized groups (a pathological table where one heading value spans
+    # millions of distinct DATA values would otherwise build one giant
     # executor-side array) take a self-join on the group key, which shuffles
     # but never materializes a group in memory.  The three signed streams
     # still meet in a single final aggregate, and every shuffle scales with
-    # distinct values, never rows².
-    # ONE full-width aggregate over the row data; the three signed streams
-    # then re-aggregate this (tables × headings × values)-bounded base
-    # instead of each shuffling the raw rows again
-    base = (
+    # distinct values, never rows².  Empty-heading groups ride through the
+    # aggregate and are dropped per stream (they collapse map-side; filtering
+    # them pre-Expand would need a per-set filter the operator doesn't have).
+    counts_all = (
         canonical.select(
-            "table_id", F.col("data"), F.col("row_heading"), F.col("column_heading")
+            "table_id", F.col("row_heading"), F.col("column_heading"), F.col("data")
         )
-        .groupBy("table_id", "row_heading", "column_heading", "data")
-        .agg(F.count(F.lit(1)).alias("_c0"))
+        .groupingSets(
+            [
+                ["table_id", "row_heading", "data"],
+                ["table_id", "column_heading", "data"],
+                ["table_id", "row_heading", "column_heading", "data"],
+            ],
+            "table_id",
+            "row_heading",
+            "column_heading",
+            "data",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.grouping("row_heading").alias("_g_rh"),
+            F.grouping("column_heading").alias("_g_ch"),
+        )
     )
 
     def _pair_contribs(keys: tuple[str, ...], sign: int) -> DataFrame:
-        src = base
-        for k in keys:
-            src = src.filter(F.col(k) != "")
-        counts = src.groupBy("table_id", *keys, "data").agg(
-            F.sum("_c0").alias("c")
+        in_set = {
+            "row_heading": F.col("_g_rh") == 0,
+            "column_heading": F.col("_g_ch") == 0,
+        }
+        sel = (in_set["row_heading"] if "row_heading" in keys else ~in_set["row_heading"]) & (
+            in_set["column_heading"] if "column_heading" in keys else ~in_set["column_heading"]
         )
+        counts = counts_all.filter(sel).select("table_id", *keys, "data", "c")
+        for k in keys:
+            counts = counts.filter(F.col(k) != "")
         w = Window.partitionBy("table_id", *keys)
         counts = counts.withColumn("_nv", F.count(F.lit(1)).over(w))
         # small groups: in-expression pair expansion over (value, count)
