@@ -21,16 +21,24 @@ from tabbyld_spark.functions.normalize import (
     normalize_entry,
     normalize_entry_sql,
 )
-from tabbyld_spark.operators.dedup import exact_dedup, minhash_dedup_pairs, ngram_jaccard_pairs, simhash
+from tabbyld_spark.operators.dedup import (
+    decontaminate,
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
 from tabbyld_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from tabbyld_spark.operators.textstats import (
     STOPWORDS,
     TOKEN_RE,
     TRIGRAM_PROFILES,
+    gopher_repetition,
     language_id,
     ngram_language_id,
     quality_stats,
     tokens,
+    train_split,
 )
 
 
@@ -454,12 +462,28 @@ def q_simhash(spark, sf_dir):
     return simhash(d).withColumn("simhash", F.col("simhash").cast("long"))
 
 
-def q_quality(spark, sf_dir):
-    """Quality stats + token counting in one surface: quality_stats ratios
-    plus both tokenizer counts (whitespace n_tokens = token_count operator,
-    n_re_tokens = the BPE-ish regex tokenizer)."""
-    q = quality_stats(_t(spark, sf_dir, "documents"))
-    return q.select(
+def q_langid(spark, sf_dir):
+    """Both language-ID surfaces in one doc-grain entry (registry slot
+    consolidation, ≤50 driver rows): stopword-hit langid (former q_langid)
+    joined with the char-trigram-profile langid (former q_langid_ngram)."""
+    d = _t(spark, sf_dir, "documents")
+    sw = language_id(d).select(
+        "doc_id", "pred_lang", F.col("stop_hits").cast("long").alias("stop_hits")
+    )
+    tri = ngram_language_id(d).select(
+        "doc_id", "pred_lang_ngram", F.col("tri_hits").cast("long").alias("tri_hits")
+    )
+    return sw.join(tri, "doc_id")
+
+
+def q_doc_profile(spark, sf_dir):
+    """Doc-grain training-data profile, three operators in one oracled
+    surface (registry slot consolidation): quality_stats ratios + both
+    tokenizer counts (former q_quality), Gopher-style repetition signals
+    (Rae et al. 2021 A1.1: top word-2-gram character coverage + duplicate
+    word-3-gram fraction), and the deterministic md5-bucket train/val split."""
+    d = _t(spark, sf_dir, "documents")
+    q = quality_stats(d).select(
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -469,20 +493,19 @@ def q_quality(spark, sf_dir):
         F.round("stopword_ratio", 6).alias("stopword_ratio"),
         F.round("distinct_ratio", 6).alias("distinct_ratio"),
     )
+    return q.join(gopher_repetition(d), "doc_id").join(train_split(d), "doc_id")
 
 
-def q_langid(spark, sf_dir):
-    out = language_id(_t(spark, sf_dir, "documents"))
-    return out.select(
-        "doc_id", "pred_lang", F.col("stop_hits").cast("long").alias("stop_hits")
-    )
-
-
-def q_langid_ngram(spark, sf_dir):
-    out = ngram_language_id(_t(spark, sf_dir, "documents"))
-    return out.select(
-        "doc_id", "pred_lang_ngram", F.col("tri_hits").cast("long").alias("tri_hits")
-    )
+def q_decontam(spark, sf_dir):
+    """Benchmark decontamination by word 4-gram overlap: every 20th doc
+    plays the held-out eval set; every other doc is flagged if any of its
+    distinct 4-grams appears in that set (GPT-3-style n-gram scrub; n=4
+    rather than 13 because the synthetic fixture docs are short — at sf0.01
+    it marks ~10% of the corpus, exercising both the hit and zero-fill
+    paths)."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate(d, bench, n=4)
 
 
 def q_winnow(spark, sf_dir):
@@ -830,9 +853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dataprep": q_dataprep,
         "q_dedup_exact": q_dedup_exact,
         "q_simhash": q_simhash,
-        "q_quality": q_quality,
+        "q_doc_profile": q_doc_profile,
         "q_langid": q_langid,
-        "q_langid_ngram": q_langid_ngram,
+        "q_decontam": q_decontam,
         "q_winnow": q_winnow,
         "q_winnow_pairs": q_winnow_pairs,
         "q_tfidf_top_terms": q_tfidf_top_terms,
@@ -1238,24 +1261,79 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(power(2.0, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
             FROM votes GROUP BY doc_id
         """,
-        "q_quality": f"""
-            WITH base AS (
+        "q_doc_profile": f"""
+            WITH qbase AS (
                 SELECT doc_id,
                        length(text) AS n_chars,
                        {_TOKENS_SQL} AS t,
                        len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_re,
                        length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct
                 FROM documents
+            ),
+            q AS (
+                SELECT doc_id,
+                       CAST(n_chars AS BIGINT) AS n_chars,
+                       CAST(len(t) AS BIGINT) AS n_tokens,
+                       CAST(n_re AS BIGINT) AS n_re_tokens,
+                       round(n_chars / len(t), 6) AS chars_per_token,
+                       round(punct / n_chars, 6) AS punct_ratio,
+                       round(len(list_filter(t, x -> lower(x) IN ({_stop_list('en')}))) / len(t), 6) AS stopword_ratio,
+                       round(len(list_distinct(t)) / len(t), 6) AS distinct_ratio
+                FROM qbase
+            ),
+            rbase AS (
+                SELECT doc_id,
+                       regexp_replace(trim(text), '\\s+', ' ', 'g') AS n,
+                       regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents
+            ),
+            feat AS (
+                SELECT doc_id, length(n) AS nc,
+                       CASE WHEN len(t) < 2 THEN [n]
+                            ELSE list_transform(range(1, len(t)),
+                                                i -> t[i] || ' ' || t[i+1]) END AS g2,
+                       CASE WHEN len(t) < 3 THEN [n]
+                            ELSE list_transform(range(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS g3
+                FROM rbase
+            ),
+            expl AS (
+                SELECT doc_id, nc,
+                       1.0 - len(list_distinct(g3)) * 1.0 / len(g3) AS dup3,
+                       unnest(g2) AS gram
+                FROM feat
+            ),
+            counts AS (
+                SELECT doc_id, nc, dup3, gram, count(*) AS c
+                FROM expl GROUP BY doc_id, nc, dup3, gram
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                           ORDER BY c DESC, gram ASC) AS rn
+                FROM counts
+            ),
+            rep AS (
+                SELECT doc_id, gram AS top_2gram,
+                       CAST(c AS BIGINT) AS top_2gram_count,
+                       round(c * length(gram) * 1.0 / nc, 6) AS top_2gram_frac,
+                       round(dup3, 6) AS dup_3gram_frac
+                FROM ranked WHERE rn = 1
+            ),
+            sp AS (
+                SELECT doc_id,
+                       ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+                        + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+                        + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 100 AS bucket
+                FROM (SELECT doc_id,
+                             substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hx
+                      FROM documents)
             )
-            SELECT doc_id,
-                   CAST(n_chars AS BIGINT) AS n_chars,
-                   CAST(len(t) AS BIGINT) AS n_tokens,
-                   CAST(n_re AS BIGINT) AS n_re_tokens,
-                   round(n_chars / len(t), 6) AS chars_per_token,
-                   round(punct / n_chars, 6) AS punct_ratio,
-                   round(len(list_filter(t, x -> lower(x) IN ({_stop_list('en')}))) / len(t), 6) AS stopword_ratio,
-                   round(len(list_distinct(t)) / len(t), 6) AS distinct_ratio
-            FROM base
+            SELECT q.*, rep.top_2gram, rep.top_2gram_count, rep.top_2gram_frac,
+                   rep.dup_3gram_frac,
+                   CAST(sp.bucket AS BIGINT) AS bucket,
+                   CASE WHEN sp.bucket < 10 THEN 'val' ELSE 'train' END AS split
+            FROM q JOIN rep USING (doc_id) JOIN sp USING (doc_id)
         """,
         "q_langid": f"""
             WITH toks AS (
@@ -1267,12 +1345,12 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY doc_id
                            ORDER BY hits DESC, lang ASC) AS rn
                 FROM hits
-            )
-            SELECT doc_id, lang AS pred_lang, CAST(hits AS BIGINT) AS stop_hits
-            FROM ranked WHERE rn = 1
-        """,
-        "q_langid_ngram": f"""
-            WITH norm AS (
+            ),
+            sw AS (
+                SELECT doc_id, lang AS pred_lang, CAST(hits AS BIGINT) AS stop_hits
+                FROM ranked WHERE rn = 1
+            ),
+            norm AS (
                 SELECT doc_id,
                        lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS n
                 FROM documents
@@ -1282,15 +1360,48 @@ def oracle_sql() -> dict[str, str]:
                 FROM norm,
                      LATERAL unnest(range(1, greatest(length(n) - 2, 1) + 1)) AS r(i)
             ),
-            hits AS ({tri_hits}),
-            ranked AS (
+            thits AS ({tri_hits}),
+            tranked AS (
                 SELECT doc_id, lang, hits,
                        row_number() OVER (PARTITION BY doc_id
                            ORDER BY hits DESC, lang ASC) AS rn
-                FROM hits
+                FROM thits
+            ),
+            tri AS (
+                SELECT doc_id, lang AS pred_lang_ngram, CAST(hits AS BIGINT) AS tri_hits
+                FROM tranked WHERE rn = 1
             )
-            SELECT doc_id, lang AS pred_lang_ngram, CAST(hits AS BIGINT) AS tri_hits
-            FROM ranked WHERE rn = 1
+            SELECT sw.doc_id, sw.pred_lang, sw.stop_hits,
+                   tri.pred_lang_ngram, tri.tri_hits
+            FROM sw JOIN tri USING (doc_id)
+        """,
+        "q_decontam": """
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_replace(trim(text), '\\s+', ' ', 'g') AS n,
+                       regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(t) < 4 THEN [n]
+                           ELSE list_distinct(list_transform(range(1, len(t) - 2),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                    || ' ' || t[i+3])) END) AS g
+                FROM tok
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+            hits AS (
+                SELECT gr.doc_id, count(*) AS shared
+                FROM grams gr JOIN bench b ON gr.g = b.g
+                WHERE gr.doc_id % 20 <> 0
+                GROUP BY gr.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.shared, 0) AS BIGINT) AS shared_grams,
+                   coalesce(h.shared, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+            LEFT JOIN hits h USING (doc_id)
         """,
         "q_winnow": """
             WITH norm AS (

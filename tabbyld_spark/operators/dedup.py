@@ -56,6 +56,49 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: s
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    n-gram with a held-out benchmark/eval set — the standard n-gram-overlap
+    scrub applied to pretraining corpora (GPT-3 used 13-grams; n is a
+    parameter here because the synthetic fixture docs are short).
+
+    → (doc_id, shared_grams, contaminated) for every corpus doc NOT itself
+    in the benchmark (anti-join on id); shared_grams counts the doc's
+    DISTINCT n-grams that appear anywhere in the benchmark set.
+
+    Scale shape: eval sets are KBs against a corpus of TBs, so the
+    benchmark's distinct-gram set is broadcast and the corpus-side probe is
+    map-side — corpus grams are NEVER shuffled.  The only exchanges are the
+    benchmark-side distinct (tiny) and the (doc_id)-grain count of
+    surviving matches (rare by construction); the zero-fill join-back keys
+    on doc ids only."""
+    cand = docs.join(benchmark.select(F.col(id_col)), on=id_col, how="left_anti")
+    bench_grams = (
+        word_shingles(benchmark, n, text_col, id_col).select("shingle").distinct()
+    )
+    hits = (
+        word_shingles(cand, n, text_col, id_col)
+        .join(F.broadcast(bench_grams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    return (
+        cand.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("shared_grams", F.lit(0)).cast("long").alias("shared_grams"),
+            (F.coalesce("shared_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,

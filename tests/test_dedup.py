@@ -112,3 +112,39 @@ def test_embedding_dedup_blocked_recall(spark):
     assert blocked <= brute  # exact rescoring: no false positives
     assert {(i, i + 1000) for i in range(8)} <= blocked
     assert len(blocked & brute) >= 0.9 * len(brute)
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    from tabbyld_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),  # bench itself
+            (1, "prefix the quick brown fox suffix words"),  # shares 4-gram
+            (2, "quick brown dog fox the jumps nothing shared"),  # shuffled, no 4-gram
+            (3, "entirely unrelated content with other tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, n=4).collect()}
+    assert set(out) == {1, 2, 3}, "benchmark doc itself excluded"
+    assert out[1]["contaminated"] and out[1]["shared_grams"] == 1
+    assert not out[2]["contaminated"] and out[2]["shared_grams"] == 0
+    assert not out[3]["contaminated"]
+
+
+def test_decontaminate_counts_distinct_grams(spark):
+    from tabbyld_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+    # doc repeats the contaminated 4-gram twice -> still counted once (distinct)
+    docs = spark.createDataFrame(
+        [(1, "a b c d x a b c d y b c d e")], "doc_id long, text string"
+    )
+    out = decontaminate(docs, bench, n=4).collect()[0]
+    # distinct shared grams: "a b c d" (once, despite 2 occurrences) + "b c d e"
+    assert out["shared_grams"] == 2

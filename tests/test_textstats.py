@@ -189,3 +189,48 @@ def test_winnow_overlap_max_df_guard(spark):
     )
     assert winnow_overlap_pairs(docs, max_df=1).count() == 0
     assert winnow_overlap_pairs(docs, max_df=3).count() == 3  # all C(3,2) pairs
+
+
+def test_gopher_repetition_hand_computed(spark):
+    from tabbyld_spark.operators.textstats import gopher_repetition
+
+    docs = spark.createDataFrame(
+        [
+            # "a b a b a b": 2-grams [a b, b a, a b, b a, a b] -> top "a b" x3;
+            # norm len 11; frac = 3*3/11. 3-grams: [a b a, b a b, a b a, b a b]
+            # -> 2 distinct of 4 -> dup 0.5
+            (1, "a b a b a b"),
+            # all distinct: top 2-gram count 1, dup_3gram 0
+            (2, "one two three four"),
+            # single token: degenerates to whole-text gram, frac 1.0, dup 0
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
+    assert out[1]["top_2gram"] == "a b" and out[1]["top_2gram_count"] == 3
+    assert out[1]["top_2gram_frac"] == round(9 / 11, 6)
+    assert out[1]["dup_3gram_frac"] == 0.5
+    assert out[2]["top_2gram_count"] == 1 and out[2]["dup_3gram_frac"] == 0.0
+    # tiebreak: count desc then gram asc -> lexicographically smallest of
+    # {"one two", "two three", "three four"}
+    assert out[2]["top_2gram"] == "one two"
+    assert out[3]["top_2gram"] == "solo" and out[3]["top_2gram_frac"] == 1.0
+    assert out[3]["dup_3gram_frac"] == 0.0
+
+
+def test_train_split_deterministic_and_pure(spark):
+    from tabbyld_spark.operators.textstats import train_split
+
+    docs = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: (r["bucket"], r["split"]) for r in train_split(docs).collect()}
+    b = {
+        r["doc_id"]: (r["bucket"], r["split"])
+        for r in train_split(docs.repartition(7)).collect()
+    }
+    assert a == b, "split must be partitioning-invariant"
+    n_val = sum(1 for _, s in a.values() if s == "val")
+    assert 0 < n_val < 500
+    for bucket, s in a.values():
+        assert 0 <= bucket < 100
+        assert (s == "val") == (bucket < 10)

@@ -186,6 +186,16 @@ def run_audit(spark, sf: str = "/root/testdata/sf0.01") -> list[tuple[str, bool,
         "SortMergeJoin" in p,
         "oversized exact CEA count ⇒ winners demote to sort-merge, not broadcast",
     )
+
+    # 9. decontamination probes the broadcast benchmark-gram set — corpus
+    # grams must never hit a sort-merge join (the corpus side is the TB side;
+    # only the tiny benchmark distinct and the doc_id-grain hit count shuffle)
+    p = plan_of(E.q_decontam(spark, sf))
+    check(
+        "broadcast/decontam",
+        "SortMergeJoin" not in p and "BroadcastHashJoin" in p,
+        "benchmark gram set broadcasts; corpus grams never shuffled",
+    )
     return results
 
 
