@@ -28,6 +28,7 @@ from tabbyld_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from tabbyld_spark.operators.privacy import PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE
 from tabbyld_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from tabbyld_spark.operators.textstats import (
     STOPWORDS,
@@ -477,11 +478,18 @@ def q_langid(spark, sf_dir):
 
 
 def q_doc_profile(spark, sf_dir):
-    """Doc-grain training-data profile, three operators in one oracled
+    """Doc-grain training-data profile, four operators in one oracled
     surface (registry slot consolidation): quality_stats ratios + both
     tokenizer counts (former q_quality), Gopher-style repetition signals
     (Rae et al. 2021 A1.1: top word-2-gram character coverage + duplicate
-    word-3-gram fraction), and the deterministic md5-bucket train/val split."""
+    word-3-gram fraction), the deterministic md5-bucket train/val split,
+    and the PII scrub (per-class replacement counts + md5 of the scrubbed
+    text).  The fixture docs are synthetic word salad with no natural PII,
+    so the PII leg plants deterministic doc_id-derived PII (email always;
+    phone iff doc_id%3==0; IPv4 iff doc_id%5==0) identically in both
+    engines, exercising hit and zero paths of every pattern class."""
+    from tabbyld_spark.operators.privacy import pii_profile
+
     d = _t(spark, sf_dir, "documents")
     q = quality_stats(d).select(
         "doc_id",
@@ -493,7 +501,43 @@ def q_doc_profile(spark, sf_dir):
         F.round("stopword_ratio", 6).alias("stopword_ratio"),
         F.round("distinct_ratio", 6).alias("distinct_ratio"),
     )
-    return q.join(gopher_repetition(d), "doc_id").join(train_split(d), "doc_id")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 32),
+            F.lit(" reach me at user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" or +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    ((F.col("doc_id") * 7) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    pii = pii_profile(planted).select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        F.md5(F.col("scrubbed").cast("binary")).alias("pii_scrub_md5"),
+    )
+    return (
+        q.join(gopher_repetition(d), "doc_id")
+        .join(train_split(d), "doc_id")
+        .join(pii, "doc_id")
+    )
 
 
 def q_decontam(spark, sf_dir):
@@ -1328,12 +1372,45 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT doc_id,
                              substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hx
                       FROM documents)
+            ),
+            pin AS (
+                SELECT doc_id,
+                       substr(text, 1, 32) || ' reach me at user'
+                       || CAST(doc_id AS VARCHAR) || '@example.com'
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                               ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                                    || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                               ELSE '' END AS t
+                FROM documents
+            ),
+            p1 AS (
+                SELECT doc_id, len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS n_emails,
+                       regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t
+                FROM pin
+            ),
+            p2 AS (
+                SELECT doc_id, n_emails,
+                       len(regexp_extract_all(t, '{PII_IPV4_RE}')) AS n_ips,
+                       regexp_replace(t, '{PII_IPV4_RE}', '<IP>', 'g') AS t
+                FROM p1
+            ),
+            pii AS (
+                SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+                       CAST(n_ips AS BIGINT) AS n_ips,
+                       CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+                       md5(regexp_replace(t, '{PII_PHONE_RE}', '<PHONE>', 'g')) AS pii_scrub_md5
+                FROM p2
             )
             SELECT q.*, rep.top_2gram, rep.top_2gram_count, rep.top_2gram_frac,
                    rep.dup_3gram_frac,
                    CAST(sp.bucket AS BIGINT) AS bucket,
-                   CASE WHEN sp.bucket < 10 THEN 'val' ELSE 'train' END AS split
+                   CASE WHEN sp.bucket < 10 THEN 'val' ELSE 'train' END AS split,
+                   pii.n_emails, pii.n_ips, pii.n_phones, pii.pii_scrub_md5
             FROM q JOIN rep USING (doc_id) JOIN sp USING (doc_id)
+                   JOIN pii USING (doc_id)
         """,
         "q_langid": f"""
             WITH toks AS (
