@@ -439,13 +439,17 @@ def q_gold_cpa(spark, sf_dir):
 
 def q_dataprep(spark, sf_dir):
     """Composed training-data prep chain (plans/dataprep.py): exact dedup →
-    SimHash-bucket near-dup collapse → language filter → quality gate.  The
-    DuckDB twin composes the same per-operator SQL fragments, so the
-    two-engine check covers the composition."""
-    from tabbyld_spark.plans.dataprep import prep_corpus
+    SimHash-bucket near-dup collapse → language filter → quality gate →
+    per-source curation rollup (each surviving doc annotated with its
+    source's corpus size, survivor count and keep rate — the per-domain
+    report a crawl-curation job publishes).  The DuckDB twin composes the
+    same per-operator SQL fragments, so the two-engine check covers the
+    composition including the rollup grain change."""
+    from tabbyld_spark.plans.dataprep import curation_report, prep_corpus
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return prep_corpus(docs)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    surv = prep_corpus(docs.select("doc_id", "text"))
+    return curation_report(docs, surv)
 
 
 # --------------------------------------------------------------------------
@@ -1091,17 +1095,34 @@ def oracle_sql() -> dict[str, str]:
                        {_TOKENS_SQL} AS t,
                        length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct
                 FROM s2
+            ),
+            surv AS (
+                SELECT q.doc_id, lid.pred_lang,
+                       CAST(n_chars AS BIGINT) AS n_chars,
+                       CAST(len(t) AS BIGINT) AS n_tokens,
+                       round(punct / n_chars, 6) AS punct_ratio,
+                       round(len(list_filter(t, x -> lower(x) IN ({_stop_list('en')}))) / len(t), 6) AS stopword_ratio
+                FROM q JOIN lid ON q.doc_id = lid.doc_id
+                WHERE lid.pred_lang = 'en'
+                  AND len(t) >= 20
+                  AND punct / n_chars <= 0.25
+                  AND CAST(len(list_filter(t, x -> lower(x) IN ({_stop_list('en')}))) AS DOUBLE) / len(t) >= 0.01
+            ),
+            tot AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_src_docs
+                FROM documents GROUP BY source
+            ),
+            keptsrc AS (
+                SELECT surv.*, d.source FROM surv
+                JOIN documents d ON surv.doc_id = d.doc_id
+            ),
+            ks AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_src_kept
+                FROM keptsrc GROUP BY source
             )
-            SELECT q.doc_id, lid.pred_lang,
-                   CAST(n_chars AS BIGINT) AS n_chars,
-                   CAST(len(t) AS BIGINT) AS n_tokens,
-                   round(punct / n_chars, 6) AS punct_ratio,
-                   round(len(list_filter(t, x -> lower(x) IN ({_stop_list('en')}))) / len(t), 6) AS stopword_ratio
-            FROM q JOIN lid ON q.doc_id = lid.doc_id
-            WHERE lid.pred_lang = 'en'
-              AND len(t) >= 20
-              AND punct / n_chars <= 0.25
-              AND CAST(len(list_filter(t, x -> lower(x) IN ({_stop_list('en')}))) AS DOUBLE) / len(t) >= 0.01
+            SELECT keptsrc.*, tot.n_src_docs, ks.n_src_kept,
+                   round(ks.n_src_kept * 1.0 / tot.n_src_docs, 6) AS src_keep_rate
+            FROM keptsrc JOIN tot USING (source) JOIN ks USING (source)
         """,
         "q_filter_project": """
             SELECT l_orderkey, l_linenumber,

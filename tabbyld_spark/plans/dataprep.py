@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tabbyld_spark.functions.joins import adaptive_broadcast
 from tabbyld_spark.operators.dedup import exact_dedup, simhash
 from tabbyld_spark.operators.textstats import language_id, quality_stats
 
@@ -70,3 +71,34 @@ def prep_corpus(
             F.round("stopword_ratio", 6).alias("stopword_ratio"),
         )
     )
+
+
+def curation_report(
+    docs: DataFrame, survivors: DataFrame, source_col: str = "source"
+) -> DataFrame:
+    """Per-source curation rollup joined back onto the doc-grain survivors:
+    every surviving row carries its source's corpus size, survivor count and
+    keep rate — the per-domain report a crawl-curation job publishes so
+    operators can spot domains the filters are eating (keep_rate ≈ 0) or
+    passing wholesale (≈ 1).
+
+    Scale shape: two (source)-grain hash aggregations (map-side partial, so
+    the exchanges carry one row per source per task, never doc-grain), one
+    source-grain join between them, and a size-gated broadcast join back to
+    the survivors — at web scale the rollup is |domains| rows; the gate
+    (``adaptive_broadcast``) demotes to a shuffle join when the domain
+    dimension outgrows the broadcast threshold instead of OOMing the driver.
+    Sources whose docs were all filtered out vanish from the doc-grain
+    output by construction (nothing to annotate), so the inner joins lose
+    nothing."""
+    totals = docs.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_src_docs")
+    )
+    kept = survivors.join(docs.select("doc_id", source_col), "doc_id")
+    stats = kept.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_src_kept")
+    )
+    rollup = totals.join(stats, source_col).withColumn(
+        "src_keep_rate", F.round(F.col("n_src_kept") / F.col("n_src_docs"), 6)
+    )
+    return kept.join(adaptive_broadcast(rollup), source_col)

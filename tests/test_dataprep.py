@@ -1,13 +1,15 @@
-"""Composed training-data prep chain: gate invariants + stage monotonicity."""
+"""Composed training-data prep chain: gate invariants + stage monotonicity
++ per-source curation rollup consistency."""
 
 from pyspark.sql import functions as F
 
-from tabbyld_spark.plans.dataprep import prep_corpus
+from tabbyld_spark.plans.dataprep import curation_report, prep_corpus
 
 
-def _docs(spark):
+def _docs(spark, with_source=False):
     sf = "/root/testdata/sf0.001"
-    return spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    cols = ["doc_id", "text"] + (["source"] if with_source else [])
+    return spark.read.parquet(f"{sf}/documents.parquet").select(*cols)
 
 
 def test_gates_hold(spark):
@@ -32,6 +34,39 @@ def test_thresholds_monotone(spark):
     assert (
         tight.select("doc_id")
         .join(loose.select("doc_id"), "doc_id", "left_anti")
+        .count()
+        == 0
+    )
+
+
+def test_curation_report_consistent(spark):
+    docs = _docs(spark, with_source=True)
+    surv = prep_corpus(docs.select("doc_id", "text"))
+    rep = curation_report(docs, surv).cache()
+    # doc grain preserved: one row per survivor, none invented or lost
+    assert rep.count() == surv.count()
+    assert rep.select("doc_id").distinct().count() == surv.count()
+    # rollup columns are internally consistent at source grain
+    per_src = rep.select("source", "n_src_docs", "n_src_kept", "src_keep_rate").distinct()
+    assert per_src.count() == rep.select("source").distinct().count()
+    bad = per_src.filter(
+        (F.col("n_src_kept") > F.col("n_src_docs"))
+        | (F.abs(F.col("src_keep_rate") - F.round(F.col("n_src_kept") / F.col("n_src_docs"), 6)) > 1e-9)
+    )
+    assert bad.count() == 0
+    # n_src_kept really counts the surviving rows of that source
+    recount = rep.groupBy("source").count()
+    assert (
+        per_src.join(recount, "source")
+        .filter(F.col("n_src_kept") != F.col("count"))
+        .count()
+        == 0
+    )
+    # n_src_docs really counts the corpus rows of that source
+    totals = docs.groupBy("source").count()
+    assert (
+        per_src.join(totals, "source")
+        .filter(F.col("n_src_docs") != F.col("count"))
         .count()
         == 0
     )
