@@ -196,6 +196,23 @@ def run_audit(spark, sf: str = "/root/testdata/sf0.01") -> list[tuple[str, bool,
         "SortMergeJoin" not in p and "BroadcastHashJoin" in p,
         "benchmark gram set broadcasts; corpus grams never shuffled",
     )
+
+    # 10. composed prep chain + per-source curation rollup: pure JVM
+    # expressions end-to-end and equi-joins only (the rollup join-back is
+    # size-gated — broadcast OR shuffle is acceptable; an all-pairs operator
+    # is not), and the doc text never travels through the rollup exchanges
+    # (the survivors projection drops it before source-grain aggregation)
+    p = plan_of(E.q_dataprep(spark, sf))
+    check(
+        "jvm-only/dataprep",
+        "EvalPython" not in p and "MapInPandas" not in p,
+        "no Python evaluator anywhere in the prep-chain plan",
+    )
+    check(
+        "no-all-pairs/dataprep",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+        "doc_id/source equi-joins only; no cartesian/nested-loop operator",
+    )
     return results
 
 
