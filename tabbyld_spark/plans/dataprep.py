@@ -102,3 +102,43 @@ def curation_report(
         "src_keep_rate", F.round(F.col("n_src_kept") / F.col("n_src_docs"), 6)
     )
     return kept.join(adaptive_broadcast(rollup), source_col)
+
+
+def prep_training_sequences(
+    docs: DataFrame,
+    lang: str = "en",
+    max_tokens: int = 128,
+    overlap: int = 16,
+    seq_len: int = 2048,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """The full corpus → model-ready path: prep_corpus (dedup → near-dup →
+    language → quality) → chunk_documents (overlapping token windows) →
+    pack_sequences (contiguous fill into seq_len token budgets).
+
+    → (seq_key, doc_id, chunk_id, chunk_text, n_chunk_tokens, bucket,
+    cum_tokens, pack_id).  ``seq_key`` ('doc_id#chunk_id') is the packing
+    order/bucket key — a pure function of ids, so the pack assignment is
+    deterministic under any partitioning or re-sharding of the corpus (the
+    same property train_split guarantees for the split).  Order within a
+    bucket is the string order of seq_key: arbitrary but stable, which is
+    what packing needs (training loaders shuffle packs anyway).
+
+    Scale shape: the chain adds ZERO shuffles beyond its parts — survivors
+    join text at doc grain, chunking is projection+explode, packing is the
+    one bucket exchange + per-bucket window sort."""
+    from tabbyld_spark.operators.chunking import chunk_documents, pack_sequences
+
+    surv = prep_corpus(docs, lang=lang).select("doc_id")
+    kept = docs.join(surv, "doc_id").select("doc_id", "text")
+    chunks = chunk_documents(kept, max_tokens=max_tokens, overlap=overlap)
+    keyed = chunks.withColumn(
+        "seq_key", F.concat_ws("#", F.col("doc_id"), F.col("chunk_id"))
+    )
+    return pack_sequences(
+        keyed,
+        seq_len=seq_len,
+        n_buckets=n_buckets,
+        id_col="seq_key",
+        tokens_col="n_chunk_tokens",
+    )

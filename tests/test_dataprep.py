@@ -39,6 +39,41 @@ def test_thresholds_monotone(spark):
     )
 
 
+def test_training_sequences_end_to_end(spark):
+    from tabbyld_spark.plans.dataprep import prep_training_sequences
+
+    docs = _docs(spark)
+    out = prep_training_sequences(
+        docs, max_tokens=32, overlap=8, seq_len=256, n_buckets=8
+    ).cache()
+    surv = prep_corpus(docs)
+    # every surviving doc produced at least one chunk; no non-survivor leaked
+    assert out.select("doc_id").distinct().count() == surv.count()
+    assert (
+        out.select("doc_id").distinct()
+        .join(surv.select("doc_id"), "doc_id", "left_anti")
+        .count()
+        == 0
+    )
+    # chunk sizes within bounds, packs within each bucket start at 0
+    assert out.filter(F.col("n_chunk_tokens") > 32).count() == 0
+    assert out.filter(F.col("n_chunk_tokens") < 1).count() == 0
+    assert out.groupBy("bucket").agg(F.min("pack_id").alias("m")).filter(
+        F.col("m") != 0
+    ).count() == 0
+    # deterministic under re-sharding: same (seq_key → pack_id) for any input
+    # partitioning (the guarantee the md5 bucket + key order exist to give)
+    again = prep_training_sequences(
+        docs.repartition(13), max_tokens=32, overlap=8, seq_len=256, n_buckets=8
+    )
+    assert (
+        out.select("seq_key", "bucket", "pack_id")
+        .exceptAll(again.select("seq_key", "bucket", "pack_id"))
+        .count()
+        == 0
+    )
+
+
 def test_curation_report_consistent(spark):
     docs = _docs(spark, with_source=True)
     surv = prep_corpus(docs.select("doc_id", "text"))
