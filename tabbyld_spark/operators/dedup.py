@@ -298,3 +298,76 @@ def embedding_dedup_pairs_blocked(
         .select("id_a", "id_b", "cos")
         .distinct()
     )
+
+
+def line_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4/CCNet-style global line (paragraph) dedup: every distinct
+    non-empty line is kept only at its first occurrence across the WHOLE
+    corpus (first = minimum (doc_id, line_no)); each document is reassembled
+    from its surviving lines in original order.  (C4, Raffel et al. 2020
+    §2.2, dedups three-sentence spans globally; CCNet and Dolma dedup at
+    paragraph grain — the line is the deterministic, tokenizer-free variant.)
+
+    → (doc_id, text, n_lines, n_kept): the deduped text ('' when every line
+    was a duplicate — the doc row is retained so downstream joins don't lose
+    ids), plus per-doc line counts for quality filtering.
+
+    Scale shape: explode to line grain, ONE aggregation keyed on the line
+    hash (map-side partial; carries an 8-byte hash + the min (doc_id,
+    line_no) struct, never line text), join back at line grain on the hash
+    (uniform by construction — the classic boilerplate key skew is bounded
+    by the aggregation happening BEFORE the join-back, so a line appearing
+    10^9 times contributes one row to the winner side), then one (doc_id)
+    aggregation to reassemble.  Nothing quadratic; no full-text shuffle
+    beyond the two doc/line-grain exchanges every global dedup needs."""
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    ).filter(F.length(F.trim("line")) > 0)
+    # key on (hash, line): the 8-byte hash drives uniform partitioning, the
+    # line text keeps the dedup EXACT (hash-only grouping silently merges
+    # 64-bit collisions — expected at ~4B distinct lines, i.e. guaranteed at
+    # 10^12 docs); map-side partial aggregation collapses duplicates before
+    # the exchange, so shuffle bytes ≈ distinct lines either way
+    lines = lines.withColumn("lhash", F.xxhash64("line"))
+    winners = lines.groupBy("lhash", "line").agg(
+        F.min(F.struct("doc_id", "line_no")).alias("first")
+    )
+    kept = (
+        lines.join(winners, ["lhash", "line"])
+        .filter(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("line_no") == F.col("first.line_no"))
+        )
+        .select("doc_id", "line_no", "line")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s.line,
+            ),
+            "\n",
+        ).alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), "\n"),
+                lambda l: F.length(F.trim(l)) > 0,
+            )
+        ).cast("long").alias("n_lines"),
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
