@@ -1,0 +1,58 @@
+"""The full webtext corpus-prep plan: Common-Crawl-style pages in,
+model-ready packed training sequences out — the FineWeb/RefinedWeb shape,
+composed from the individually-tested operators:
+
+    W1 URL filter        registrable-suffix blocklist, cheapest grain first
+    W2 extract           html → byte-identical text (the ONE Arrow UDF)
+    W3 line dedup        C4-style global first-occurrence line dedup
+    W4 corpus prep       exact dedup → SimHash near-dup → language → quality
+    W5 chunk + pack      overlapping token windows → contiguous-fill packs
+
+The document id is the ``url`` itself: every downstream winner choice
+(line dedup's min (doc_id, line_no), exact/near-dup's min doc_id, the pack
+bucket md5) orders on it, so the whole plan is a pure function of page
+content + url — deterministic under any partitioning, re-sharding, or task
+retry, which is what makes the per-stage catalog commits of
+``plans/pipeline.py`` safely resumable here too.
+
+Scale shape: W1 prunes before the expensive W2 decode (filter the cheap
+grain first); W2 is Arrow-batched and embarrassingly parallel; W3–W5 add
+exactly the exchanges their operators document — nothing quadratic, no
+full-text shuffle beyond the line/doc-grain dedup aggregations."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tabbyld_spark.extract.html import extract_pages
+from tabbyld_spark.operators.dedup import line_dedup
+from tabbyld_spark.operators.webfilter import url_filter
+from tabbyld_spark.plans.dataprep import prep_training_sequences
+
+
+def prep_web_corpus(
+    pages: DataFrame,
+    blocklist: DataFrame | None = None,
+    lang: str = "en",
+    max_tokens: int = 128,
+    overlap: int = 16,
+    seq_len: int = 2048,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang, …) → (seq_key, doc_id=url,
+    chunk_id, chunk_text, n_chunk_tokens, bucket, cum_tokens, pack_id)."""
+    if blocklist is not None:
+        pages = url_filter(pages, blocklist)
+    docs = extract_pages(pages).select(
+        F.col("url").alias("doc_id"), F.col("extracted_text").alias("text")
+    )
+    deduped = line_dedup(docs).select("doc_id", "text")
+    return prep_training_sequences(
+        deduped,
+        lang=lang,
+        max_tokens=max_tokens,
+        overlap=overlap,
+        seq_len=seq_len,
+        n_buckets=n_buckets,
+    )

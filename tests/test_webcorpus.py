@@ -1,0 +1,44 @@
+"""End-to-end webtext prep: pages → packed training sequences.  Blocklist
+actually prunes, output is deterministic under re-partitioning, and every
+surviving chunk traces back to a non-blocked page."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tabbyld_spark.plans.webcorpus import prep_web_corpus
+
+
+@pytest.fixture(scope="module")
+def pages(spark, pages_fx):
+    return spark.createDataFrame(pages_fx.pages)
+
+
+def test_end_to_end(spark, pages):
+    out = prep_web_corpus(
+        pages, lang="en", max_tokens=32, overlap=8, seq_len=256, n_buckets=8
+    ).cache()
+    n = out.count()
+    assert n > 0
+    # ids are the fixture urls; chunks bounded; packs 0-based per bucket
+    assert out.filter(~F.col("doc_id").startswith("https://fixture.example.org/")).count() == 0
+    assert out.filter((F.col("n_chunk_tokens") > 32) | (F.col("n_chunk_tokens") < 1)).count() == 0
+    assert (
+        out.groupBy("bucket").agg(F.min("pack_id").alias("m"))
+        .filter(F.col("m") != 0).count() == 0
+    )
+
+
+def test_blocklist_prunes_everything(spark, pages):
+    bl = spark.createDataFrame([("example.org",)], ["domain"])
+    assert prep_web_corpus(pages, blocklist=bl, max_tokens=32, seq_len=256).count() == 0
+
+
+def test_deterministic_under_resharding(spark, pages):
+    kw = dict(lang="en", max_tokens=32, overlap=8, seq_len=256, n_buckets=8)
+    a = prep_web_corpus(pages, **kw).select("seq_key", "bucket", "pack_id")
+    b = prep_web_corpus(pages.repartition(17), **kw).select(
+        "seq_key", "bucket", "pack_id"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
