@@ -213,6 +213,41 @@ def run_audit(spark, sf: str = "/root/testdata/sf0.01") -> list[tuple[str, bool,
         "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
         "doc_id/source equi-joins only; no cartesian/nested-loop operator",
     )
+
+    # 11. webtext prep operators: URL blocklist broadcasts (a blocklist is
+    # KBs; a shuffle join here moves the whole corpus's URL column for a
+    # dictionary), line dedup and chunking stay JVM-side with equi-joins only
+    from pyspark.sql import functions as F
+
+    from tabbyld_spark.operators.chunking import chunk_documents
+    from tabbyld_spark.operators.dedup import line_dedup
+    from tabbyld_spark.operators.webfilter import url_filter
+
+    docs_sf = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    urls = docs_sf.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 50).cast("string"),
+                 F.lit(".example.com/p")).alias("url")
+    )
+    bl = spark.createDataFrame([("h7.example.com",)], ["domain"])
+    p = plan_of(url_filter(urls, bl))
+    check(
+        "broadcast/url-filter",
+        "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+        "blocklist broadcasts against the exploded host suffixes",
+    )
+    p = plan_of(line_dedup(docs_sf))
+    check(
+        "jvm-only/line-dedup",
+        "EvalPython" not in p and "MapInPandas" not in p
+        and "CartesianProduct" not in p,
+        "winner aggregation + join-back, no Python, no all-pairs",
+    )
+    p = plan_of(chunk_documents(docs_sf))
+    check(
+        "no-shuffle/chunking",
+        "Exchange" not in p and "EvalPython" not in p,
+        "chunk extraction is projection + generate only — zero exchanges",
+    )
     return results
 
 
