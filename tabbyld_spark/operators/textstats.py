@@ -421,3 +421,30 @@ def winnow_overlap_pairs(
             F.round(F.col("shared") / F.least("_sa", "_sb"), 6).alias("overlap"),
         )
     )
+
+
+def lexicon_flags(
+    docs: DataFrame,
+    words: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style content-lexicon filter signal (Raffel et al. 2020 §2.2 drop
+    pages containing any entry of a public blocklist): → (doc_id, n_hits,
+    flagged) where n_hits counts tokens (lowercased) that appear in
+    ``words`` and flagged is n_hits > 0.  The caller supplies the lexicon —
+    nothing is baked in.
+
+    Scale shape: the lexicon compiles into ONE literal array inside the
+    whole-stage-codegen projection — zero shuffle, zero Python.  The
+    membership probe is per-token; for lexicons beyond a few thousand
+    entries switch to the ``decontaminate`` shape (broadcast the lexicon as
+    a frame and probe map-side) rather than growing the literal."""
+    wl = F.lit([w.lower() for w in words])
+    toks = tokens(F.col(text_col))
+    n_hits = F.size(F.filter(toks, lambda x: F.array_contains(wl, F.lower(x))))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_hits.cast("long").alias("n_hits"),
+        (n_hits > 0).alias("flagged"),
+    )

@@ -234,3 +234,59 @@ def test_train_split_deterministic_and_pure(spark):
     for bucket, s in a.values():
         assert 0 <= bucket < 100
         assert (s == "val") == (bucket < 10)
+
+
+def test_lexicon_flags(spark):
+    from tabbyld_spark.operators.textstats import lexicon_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the Quick brown fox"),
+            (2, "nothing to see here"),
+            (3, "quick quick QUICK slow"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lexicon_flags(docs, ["quick", "slow"]).collect()}
+    assert (out[1]["n_hits"], out[1]["flagged"]) == (1, True)
+    assert (out[2]["n_hits"], out[2]["flagged"]) == (0, False)
+    assert (out[3]["n_hits"], out[3]["flagged"]) == (4, True)
+    assert (out[4]["n_hits"], out[4]["flagged"]) == (0, False)
+
+
+def test_lexicon_flags_duckdb_twin(spark):
+    import duckdb
+
+    from tabbyld_spark.operators.textstats import lexicon_flags
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    got = sorted(
+        (r["doc_id"], r["n_hits"], r["flagged"])
+        for r in lexicon_flags(docs, ["table", "spark"]).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    x -> lower(x) IN ('table', 'spark'))) AS BIGINT) AS n_hits,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    x -> lower(x) IN ('table', 'spark'))) > 0 AS flagged
+        FROM documents
+        """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_lexicon_flags_plan(spark):
+    from tabbyld_spark.operators.textstats import lexicon_flags
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    p = lexicon_flags(docs, ["a"])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "EvalPython" not in p
