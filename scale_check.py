@@ -169,16 +169,32 @@ if topology == "local-cluster" and os.environ.get("SPARK_GRAFT_SCALE_PIN", "pern
 kg = build_kg(seed=42)
 pages = gen_pages_df(spark, kg, n_pages=n_pages, seed=42, partitions=32).persist()
 n = pages.count()  # generation outside the timed section
-kgs = kg.to_spark(spark)
-# warm-JVM protocol (BASELINE.md): one full pipeline pass on a small disjoint
-# input first, so Janino codegen compilation, JIT, and Python-worker spin-up
-# happen outside the timed section at BOTH core counts — a real cluster job
-# amortizes these once per executor lifetime, not once per measurement
+# SPARK_GRAFT_SCALE_JOB selects the measured job: 'sti' (default — the
+# flagship KG pipeline, the north-rule gate) or 'webcorpus' (the round-4
+# pages→packed-training-sequences prep plan).  Same protocol either way:
+# warm pass on a disjoint input, identical code at both cluster sizes,
+# output count doubles as the identical-output check ("n_triples" keeps its
+# key name; for webcorpus it counts emitted chunks).
+job = os.environ.get("SPARK_GRAFT_SCALE_JOB", "sti")
 warm = gen_pages_df(spark, kg, n_pages=1500, seed=7, partitions=16)
-annotate_pages(warm, kgs, fuzzy_enabled=True).triples.count()
-t0 = time.time()
-res = annotate_pages(pages, kgs, fuzzy_enabled=True)
-n_triples = res.triples.count()
+if job == "webcorpus":
+    from tabbyld_spark.plans.webcorpus import prep_web_corpus
+
+    kw = dict(max_tokens=128, overlap=16, seq_len=2048, n_buckets=64)
+    prep_web_corpus(warm, **kw).count()
+    t0 = time.time()
+    n_triples = prep_web_corpus(pages, **kw).count()
+else:
+    kgs = kg.to_spark(spark)
+    # warm-JVM protocol (BASELINE.md): one full pipeline pass on a small
+    # disjoint input first, so Janino codegen compilation, JIT, and
+    # Python-worker spin-up happen outside the timed section at BOTH core
+    # counts — a real cluster job amortizes these once per executor
+    # lifetime, not once per measurement
+    annotate_pages(warm, kgs, fuzzy_enabled=True).triples.count()
+    t0 = time.time()
+    res = annotate_pages(pages, kgs, fuzzy_enabled=True)
+    n_triples = res.triples.count()
 sec = time.time() - t0
 json.dump({"cores": cores, "topology": topology, "n_pages": n, "n_triples": n_triples,
            "sec": round(sec, 3), "triples_per_sec": round(n_triples / sec, 1)},
@@ -264,7 +280,12 @@ def main() -> None:
             "cluster_4N": [r["sec"] for r in his],
         },
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"), "w") as f:
+    # the flagship gate artifact is BENCH_SCALING.json; alternate jobs write
+    # their own file so a secondary measurement can never clobber the gate
+    job = os.environ.get("SPARK_GRAFT_SCALE_JOB", "sti")
+    result["job"] = job
+    fname = "BENCH_SCALING.json" if job == "sti" else f"BENCH_SCALING_{job.upper()}.json"
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), fname), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
 
