@@ -47,7 +47,8 @@ def chunk_documents(
     (chunk_id is the 0-based window index; the final window may be short).
     Contract: a chunk starts at token position k·stride for every k with
     k·stride < n_tokens — identical to the SQL twin's ``range(0, n,
-    stride)`` lateral."""
+    stride)`` lateral.  Empty, whitespace-only and NULL texts produce no
+    chunks (the doc id is absent from the output)."""
     if not 0 <= overlap < max_tokens:
         raise ValueError("need 0 <= overlap < max_tokens")
     stride = max_tokens - overlap

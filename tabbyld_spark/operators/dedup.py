@@ -355,11 +355,16 @@ def line_dedup(
     )
     totals = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(
-            F.filter(
-                F.split(F.col(text_col), "\n"),
-                lambda l: F.length(F.trim(l)) > 0,
-            )
+        # coalesce: size(NULL) is NULL in Spark 4 — a NULL-text doc reads as
+        # ('', 0, 0), same as an all-blank one
+        F.coalesce(
+            F.size(
+                F.filter(
+                    F.split(F.col(text_col), "\n"),
+                    lambda l: F.length(F.trim(l)) > 0,
+                )
+            ),
+            F.lit(0),
         ).cast("long").alias("n_lines"),
     )
     return (

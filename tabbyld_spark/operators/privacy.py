@@ -40,8 +40,10 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 
 
 def scrub_text(col: Column | str) -> Column:
-    """The scrubbed text alone (chained regexp_replace, all JVM-side)."""
+    """The scrubbed text alone (chained regexp_replace, all JVM-side).
+    NULL reads as '' — the same contract as ``pii_profile``."""
     c = F.col(col) if isinstance(col, str) else col
+    c = F.coalesce(c, F.lit(""))
     for _, pat, tok in PII_PATTERNS:
         c = F.regexp_replace(c, pat, tok)
     return c
@@ -54,7 +56,9 @@ def pii_profile(
     replacement counts plus the scrubbed text.  Counts are computed on the
     progressively-scrubbed text (see module docstring), so
     ``n_<class> == number of <CLASS> tokens inserted`` holds exactly."""
-    cur = F.col(text_col)
+    # NULL text reads as '' — counts 0, scrubbed '' (regexp_count/replace
+    # would otherwise propagate NULL through every output column)
+    cur = F.coalesce(F.col(text_col), F.lit(""))
     out: list[Column] = [F.col(id_col).alias("doc_id")]
     for stem, pat, tok in PII_PATTERNS:
         out.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{stem}s"))

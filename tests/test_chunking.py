@@ -94,6 +94,15 @@ def test_overlap_and_coverage(spark):
         assert rebuilt == toks
 
 
+def test_degenerate_texts_produce_no_chunks(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   \n  "), (4, "one")],
+        "doc_id long, text string",
+    )
+    got = chunk_documents(docs, 8, 2).collect()
+    assert [(r["doc_id"], r["chunk_text"]) for r in got] == [(4, "one")]
+
+
 def test_pack_sequences_twin_and_invariants(spark):
     seq_len = 64
     docs = _docs(spark).withColumn(

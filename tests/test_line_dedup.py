@@ -19,10 +19,12 @@ def test_first_occurrence_wins(spark):
             (3, "gamma\nalpha\nepsilon"),  # both seen
             (4, "alpha\nbeta\ngamma"),   # fully duplicate doc
             (5, "  \n\nzeta\n"),          # blank lines dropped, zeta kept
+            (6, None),                     # NULL text reads as all-blank
         ],
         "doc_id long, text string",
     )
     out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert (out[6]["text"], out[6]["n_lines"], out[6]["n_kept"]) == ("", 0, 0)
     assert out[1]["text"] == "alpha\nbeta\ngamma"
     assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 3)
     assert out[2]["text"] == "delta"

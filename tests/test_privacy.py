@@ -14,6 +14,7 @@ def _docs(spark):
         (2, "two mails a@b.io c.d@e.org and 10.0.0.1 10.0.0.2"),
         (3, "nothing sensitive here at all"),
         (4, "edge: 999.1.2.3 and +44 123 4567 trailing"),
+        (5, None),  # NULL text → zero counts, scrubbed ''
     ]
     return spark.createDataFrame(rows, "doc_id long, text string")
 
@@ -31,6 +32,8 @@ def test_counts_and_tokens(spark):
     # separator-flexible phone shape both hit row 4 — a recall-over-
     # precision contract stated in the module docstring
     assert out[4]["n_ips"] == 1 and out[4]["n_phones"] == 1
+    assert (out[5]["n_emails"], out[5]["n_ips"], out[5]["n_phones"]) == (0, 0, 0)
+    assert out[5]["scrubbed"] == ""
 
 
 def test_idempotent(spark):
