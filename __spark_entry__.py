@@ -578,16 +578,21 @@ def q_winnow_pairs(spark, sf_dir):
     return winnow_overlap_pairs(d)
 
 
-def q_tfidf_top_terms(spark, sf_dir):
-    """Per-doc top-3 terms by smoothed tf-idf (deterministic tiebreak)."""
-    from tabbyld_spark.operators.ranking import tf_idf
+def q_text_ranking(spark, sf_dir):
+    """Both text-ranking surfaces in one doc-grain entry (registry slot
+    consolidation, ≤50 driver rows): per-doc top-3 smoothed tf-idf terms
+    (doc_id < 300, deterministic tiebreak — former q_tfidf_top_terms)
+    full-outer-joined with the BM25 top-20 docs for a fixed 3-term query
+    over the whole corpus (former q_bm25).  The full outer join preserves
+    every exact value of BOTH operators: tfidf-only docs carry NULL
+    score/rank, bm25-only docs (id ≥ 300 or no top-3 row) carry NULL
+    term/tf/df/tfidf/rk."""
+    from tabbyld_spark.operators.ranking import bm25_topk, tf_idf
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    scored = tf_idf(d, max_df_ratio=0.9)
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("tfidf"), F.asc("term")
-    )
-    return (
+    d = _t(spark, sf_dir, "documents")
+    scored = tf_idf(d.filter(F.col("doc_id") < 300), max_df_ratio=0.9)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    top3 = (
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .select(
@@ -596,15 +601,55 @@ def q_tfidf_top_terms(spark, sf_dir):
             F.round("tfidf", 6).alias("tfidf"), "rk",
         )
     )
+    bm = bm25_topk(d, ["hash", "join", "vector"], k=20).select(
+        "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+    return top3.join(bm, "doc_id", "full_outer")
 
 
-def q_bm25(spark, sf_dir):
-    """BM25 top-20 docs for a fixed 3-term query over the documents corpus."""
-    from tabbyld_spark.operators.ranking import bm25_topk
+def q_webprep(spark, sf_dir):
+    """The composed webtext corpus-prep path (plans/webcorpus.py W1+W3+W5),
+    value-oracled end-to-end: registrable-suffix URL blocklist filter →
+    C4-style global line dedup → overlapping-token-window chunking →
+    contiguous-fill sequence packing.  The crawl shape (url + multi-line
+    body) is synthesized deterministically from the documents table in BOTH
+    engines: url = https://d{doc_id%37}.{source}.example.com/p/{doc_id};
+    the body gets a newline after every 8th token (one global regex pass,
+    identical under Java regex and RE2 — non-overlapping left-to-right).
+    The blocklist blocks one registrable suffix (src3.example.com — drops
+    every subdomain of it) and one exact host, exercising both grains of
+    the suffix-chain semantics.  W2 (html → byte-identical text) is the one
+    non-SQL stage; it is pytest-gated against fixtures (test_extract.py)."""
+    from tabbyld_spark.operators.chunking import chunk_documents, pack_sequences
+    from tabbyld_spark.operators.dedup import line_dedup
+    from tabbyld_spark.operators.webfilter import url_filter
 
-    d = _t(spark, sf_dir, "documents")
-    out = bm25_topk(d, ["hash", "join", "vector"], k=20)
-    return out.select("doc_id", F.round("score", 6).alias("score"), "rank")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    url = F.concat(
+        F.lit("https://d"), (F.col("doc_id") % 37).cast("string"),
+        F.lit("."), F.col("source"), F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    norm = F.regexp_replace(F.trim("text"), r"\s+", " ")
+    body = F.regexp_replace(norm, r"((?:\S+ ){7}\S+) ", "$1\n")
+    pages = d.select(url.alias("url"), body.alias("text"))
+    bl = spark.createDataFrame(
+        [("src3.example.com",), ("d7.src0.example.com",)], "domain string"
+    )
+    kept = url_filter(pages, bl).select(F.col("url").alias("doc_id"), "text")
+    deduped = line_dedup(kept).select("doc_id", "text")
+    chunks = chunk_documents(deduped, max_tokens=16, overlap=4)
+    keyed = chunks.withColumn(
+        "seq_key", F.concat_ws("#", F.col("doc_id"), F.col("chunk_id"))
+    )
+    packed = pack_sequences(
+        keyed, seq_len=64, n_buckets=8, id_col="seq_key",
+        tokens_col="n_chunk_tokens",
+    )
+    return packed.select(
+        "seq_key", "doc_id", F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk_text", "n_chunk_tokens", "bucket", "cum_tokens", "pack_id",
+    )
 
 
 def q_media_meta(spark, sf_dir):
@@ -906,8 +951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontam": q_decontam,
         "q_winnow": q_winnow,
         "q_winnow_pairs": q_winnow_pairs,
-        "q_tfidf_top_terms": q_tfidf_top_terms,
-        "q_bm25": q_bm25,
+        "q_text_ranking": q_text_ranking,
+        "q_webprep": q_webprep,
         "q_media_meta": q_media_meta,
         "q_media_frames": q_media_frames,
         "q_media_features": q_media_features,
@@ -1589,8 +1634,8 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 16 + w * h * nf END AS n_bytes
             FROM g
         """,
-        "q_tfidf_top_terms": f"""
-            WITH tc AS (
+        "q_text_ranking": f"""
+            WITH tft AS (
                 SELECT doc_id, lower(t) AS term, count(*) AS tf
                 FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS t
                       FROM documents WHERE doc_id < 300)
@@ -1598,50 +1643,123 @@ def oracle_sql() -> dict[str, str]:
             ),
             nd AS (SELECT count(DISTINCT doc_id) AS n
                    FROM documents WHERE doc_id < 300),
-            dfreq AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
-            scored AS (
-                SELECT tc.doc_id, tc.term, tc.tf, d.df,
-                       tc.tf * (ln((nd.n + 1) / (d.df + 1.0)) + 1) AS tfidf
-                FROM tc JOIN dfreq d USING (term) CROSS JOIN nd
+            tdf AS (SELECT term, count(*) AS df FROM tft GROUP BY term),
+            tscored AS (
+                SELECT tft.doc_id, tft.term, tft.tf, d.df,
+                       tft.tf * (ln((nd.n + 1) / (d.df + 1.0)) + 1) AS tfidf
+                FROM tft JOIN tdf d USING (term) CROSS JOIN nd
                 WHERE d.df <= nd.n * 0.9
-            )
-            SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf, rk FROM (
-                SELECT *, row_number() OVER (PARTITION BY doc_id
-                           ORDER BY tfidf DESC, term ASC) AS rk
-                FROM scored
-            ) WHERE rk <= 3
-        """,
-        "q_bm25": f"""
-            WITH tc AS (
+            ),
+            top3 AS (
+                SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf, rk FROM (
+                    SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rk
+                    FROM tscored
+                ) WHERE rk <= 3
+            ),
+            btc AS (
                 SELECT doc_id, lower(t) AS term, count(*) AS tf
                 FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents)
                 WHERE t <> '' GROUP BY 1, 2
             ),
-            dl AS (SELECT doc_id, sum(tf) AS dl FROM tc GROUP BY doc_id),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM btc GROUP BY doc_id),
             stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
             q AS (SELECT unnest(['hash', 'join', 'vector']) AS term),
-            dfreq AS (
-                SELECT tc.term, count(*) AS df
-                FROM tc JOIN q USING (term) GROUP BY tc.term
+            bdf AS (
+                SELECT btc.term, count(*) AS df
+                FROM btc JOIN q USING (term) GROUP BY btc.term
             ),
-            scored AS (
-                SELECT tc.doc_id,
+            bscored AS (
+                SELECT btc.doc_id,
                        sum(
                            ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
-                           * tc.tf * (1.2 + 1)
-                           / (tc.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                           * btc.tf * (1.2 + 1)
+                           / (btc.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
                        ) AS score
-                FROM tc
-                JOIN dfreq d USING (term)
+                FROM btc
+                JOIN bdf d USING (term)
                 JOIN dl USING (doc_id)
                 CROSS JOIN stats s
-                GROUP BY tc.doc_id
+                GROUP BY btc.doc_id
+            ),
+            bm AS (
+                SELECT doc_id, round(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+                FROM (
+                    SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+                    FROM bscored
+                ) WHERE rank <= 20
             )
-            SELECT doc_id, round(score, 6) AS score, CAST(rank AS BIGINT) AS rank
-            FROM (
-                SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
-                FROM scored
-            ) WHERE rank <= 20
+            SELECT COALESCE(top3.doc_id, bm.doc_id) AS doc_id,
+                   top3.term, top3.tf, top3.df, top3.tfidf, top3.rk,
+                   bm.score, bm.rank
+            FROM top3 FULL OUTER JOIN bm ON top3.doc_id = bm.doc_id
+        """,
+        "q_webprep": """
+            WITH base AS (
+                SELECT 'https://d' || CAST(doc_id % 37 AS VARCHAR) || '.'
+                           || source || '.example.com/p/'
+                           || CAST(doc_id AS VARCHAR) AS url,
+                       'd' || CAST(doc_id % 37 AS VARCHAR) || '.'
+                           || source || '.example.com' AS host,
+                       regexp_replace(
+                           trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                           '((?:\\S+ ){7}\\S+) ', '\\1' || chr(10), 'g') AS body
+                FROM documents
+            ),
+            kept AS (
+                SELECT url AS doc_id, body FROM base
+                WHERE NOT (host = 'src3.example.com'
+                           OR host LIKE '%.src3.example.com')
+                  AND NOT (host = 'd7.src0.example.com'
+                           OR host LIKE '%.d7.src0.example.com')
+            ),
+            l0 AS (SELECT doc_id, string_split(body, chr(10)) AS ls FROM kept),
+            lines AS (
+                SELECT doc_id, i - 1 AS line_no, ls[i] AS line
+                FROM l0, LATERAL unnest(range(1, len(ls) + 1)) AS r(i)
+                WHERE length(trim(ls[i])) > 0
+            ),
+            win AS (
+                SELECT doc_id, line_no, line,
+                       row_number() OVER (PARTITION BY line
+                           ORDER BY doc_id, line_no) AS rn
+                FROM lines
+            ),
+            rebuilt AS (
+                SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+                FROM win WHERE rn = 1 GROUP BY doc_id
+            ),
+            tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+                FROM rebuilt WHERE length(trim(text)) > 0
+            ),
+            ch AS (
+                SELECT doc_id, CAST(r.k AS BIGINT) AS chunk_id,
+                       array_to_string(t[k*12+1 : k*12+16], ' ') AS chunk_text,
+                       CAST(len(t[k*12+1 : k*12+16]) AS BIGINT) AS n_chunk_tokens
+                FROM tok,
+                     LATERAL unnest(range(0,
+                         CAST(floor((len(t) + 11) / 12) AS BIGINT))) AS r(k)
+            ),
+            keyed AS (
+                SELECT *, doc_id || '#' || CAST(chunk_id AS VARCHAR) AS seq_key
+                FROM ch
+            ),
+            bkt AS (
+                SELECT *, CAST((strpos('0123456789abcdef',
+                               substr(md5(seq_key), 6, 1)) - 1) % 8 AS BIGINT)
+                           AS bucket
+                FROM keyed
+            )
+            SELECT seq_key, doc_id, chunk_id, chunk_text, n_chunk_tokens, bucket,
+                   CAST(sum(n_chunk_tokens) OVER w AS BIGINT) AS cum_tokens,
+                   CAST(floor((sum(n_chunk_tokens) OVER w - n_chunk_tokens)
+                        / 64) AS BIGINT) AS pack_id
+            FROM bkt
+            WINDOW w AS (PARTITION BY bucket ORDER BY seq_key
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "q_media_features": """
             WITH g AS (

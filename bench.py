@@ -62,6 +62,7 @@ def main() -> None:
         "q_cosine_topk",
         "q_ann_lsh",
         "q_connected_components",
+        "q_webprep",
     ]
     registry = E.queries()
 
