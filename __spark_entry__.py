@@ -725,8 +725,15 @@ def q_closure(spark, sf_dir):
 
 
 def q_connected_components(spark, sf_dir):
-    """Hash-min components over the order↔part co-purchase graph."""
+    """Graph-materialize analytics over the order↔part co-purchase graph,
+    consolidated at node grain: hash-min connected components (undirected)
+    + 5-iteration damped PageRank over the directed o→p edges (every part
+    node is dangling — exercises the dangling-mass redistribution).  The
+    DuckDB twin pairs a recursive reachability CTE with the power method
+    unrolled as 5 chained CTEs — two independent formulations of both
+    algorithms."""
     from tabbyld_spark.operators.components import connected_components
+    from tabbyld_spark.operators.graphrank import pagerank
 
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 120)
     # no .distinct(): the operator's batch-local union-find contraction
@@ -736,7 +743,11 @@ def q_connected_components(spark, sf_dir):
         F.concat(F.lit("o"), F.format_string("%09d", "l_orderkey")).alias("src"),
         F.concat(F.lit("p"), F.format_string("%09d", "l_partkey")).alias("dst"),
     )
-    return connected_components(edges).select("node", "component")
+    cc = connected_components(edges).select("node", "component")
+    pr = pagerank(edges, damping=0.85, iterations=5, round_to=6)
+    return cc.join(pr, "node").select(
+        "node", "component", F.col("rank").alias("pagerank")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -972,6 +983,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 
 _TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _pagerank_ctes(iters: int = 5) -> str:
+    """Unrolled damped power method over the CTE ``base(src, dst)`` —
+    the DuckDB twin of operators/graphrank.py:pagerank (Page et al. 1999,
+    dangling mass redistributed uniformly each step).  Every float literal
+    is CAST to DOUBLE so both engines compute the identical IEEE value
+    (DuckDB's bare 1.0 - 0.85 is exact DECIMAL arithmetic, Spark's is
+    binary double); rank is rounded to 6 dp at the very end only."""
+    d = "CAST(0.85 AS DOUBLE)"
+    parts = [
+        """nodes AS (
+                -- no top-level UNION: inside WITH RECURSIVE, DuckDB 1.0
+                -- gives any UNION-bodied CTE recursive treatment and the
+                -- set dedup is lost (verified: 2x rows) — UNION ALL +
+                -- explicit DISTINCT sidesteps it
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM base UNION ALL SELECT dst FROM base
+                )
+            ),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            outdeg AS (
+                SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM base GROUP BY src
+            ),
+            pr0 AS (
+                SELECT node, CAST(1.0 AS DOUBLE)/(SELECT n FROM nn) AS pr FROM nodes
+            )"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""dg{i} AS (
+                SELECT coalesce(sum(pr), CAST(0 AS DOUBLE)) AS dang FROM pr{i}
+                WHERE node NOT IN (SELECT src FROM outdeg)
+            ),
+            pr{i + 1} AS (
+                SELECT nodes.node,
+                       (CAST(1.0 AS DOUBLE) - {d})/(SELECT n FROM nn)
+                       + {d} * (coalesce(c.contrib, CAST(0 AS DOUBLE))
+                                + (SELECT dang FROM dg{i})/(SELECT n FROM nn)) AS pr
+                FROM nodes LEFT JOIN (
+                    SELECT b.dst AS node, sum(r.pr / o.deg) AS contrib
+                    FROM base b
+                    JOIN pr{i} r ON b.src = r.node
+                    JOIN outdeg o ON o.src = b.src
+                    GROUP BY b.dst
+                ) c USING (node)
+            )"""
+        )
+    return ",\n            ".join(parts)
+
+
+# Graph-materialize twin: recursive reachability (connected components) +
+# the unrolled power method, joined at node grain — two independent
+# formulations of what operators/components.py + operators/graphrank.py
+# compute iteratively.
+_CC_PAGERANK_SQL = (
+    """
+            WITH RECURSIVE base AS (
+                SELECT DISTINCT
+                    concat('o', format('{:09d}', l_orderkey)) AS src,
+                    concat('p', format('{:09d}', l_partkey)) AS dst
+                FROM lineitem WHERE l_orderkey < 120
+            ),
+            sym AS (
+                SELECT src, dst FROM base
+                UNION SELECT dst, src FROM base
+            ),
+            reach AS (
+                SELECT src AS node, src AS r FROM sym
+                UNION
+                SELECT reach.node, sym.dst
+                FROM reach JOIN sym ON reach.r = sym.src
+            ),
+            cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+            """
+    + _pagerank_ctes(5)
+    + """
+            SELECT cc.node, cc.component, round(pr5.pr, 6) AS pagerank
+            FROM cc JOIN pr5 ON cc.node = pr5.node
+        """
+)
 
 # Exact word-3-gram Jaccard pair CTEs (documents, doc_id < 200): the
 # q_minhash_pairs denominator — the twin of operators.dedup.ngram_jaccard_pairs,
@@ -1849,23 +1941,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT child, parent, min(depth) AS depth
             FROM walk GROUP BY child, parent
         """,
-        "q_connected_components": """
-            WITH RECURSIVE base AS (
-                SELECT DISTINCT
-                    concat('o', format('{:09d}', l_orderkey)) AS src,
-                    concat('p', format('{:09d}', l_partkey)) AS dst
-                FROM lineitem WHERE l_orderkey < 120
-            ),
-            sym AS (
-                SELECT src, dst FROM base
-                UNION SELECT dst, src FROM base
-            ),
-            reach AS (
-                SELECT src AS node, src AS r FROM sym
-                UNION
-                SELECT reach.node, sym.dst
-                FROM reach JOIN sym ON reach.r = sym.src
-            )
-            SELECT node, min(r) AS component FROM reach GROUP BY node
-        """,
+        "q_connected_components": _CC_PAGERANK_SQL,
     }

@@ -1,0 +1,131 @@
+"""PageRank over directed edges — graph-materialize analytics (S7b).
+
+The north star calls for canonicalization + graph materialization over the
+constructed KG; after connected components (``operators/components.py``)
+merges duplicate entities, PageRank is the standard next consumer of the
+materialized edge set: entity/host salience for curation weighting (the
+Common-Crawl host-level web graph is ranked exactly this way) and for
+ordering ambiguous-candidate tiebreaks.  The reference has no graph
+analytics at all (its graph lives in DBpedia and is only *queried*,
+/root/reference/components/CanonicalTableAnnotator.php:49-54); this operator
+is part of the web-scale re-targeting, computed per Page et al. 1999 ("The
+PageRank citation ranking"), the damped power method with dangling-mass
+redistribution:
+
+    r(v) = (1-d)/N + d * ( sum_{u->v} r(u)/outdeg(u) + dang/N )
+    dang = sum over dangling u (outdeg 0) of r(u)
+
+which preserves sum(r) = 1 every iteration.  Fixed iteration count (the
+usual production choice at web scale — convergence-delta loops add a
+per-round driver action), so the result is a pure function of (edges,
+damping, iterations) and has an exact unrolled-SQL twin.
+
+Exchange discipline (mirrors connected_components): the edge set is the
+BIG, loop-invariant side — hash-partitioned by ``src`` ONCE before the
+loop (the lineage cut preserves the partitioning), so each iteration
+shuffles only the rank frame (one row per node).  When the exact node
+count is small the rank side broadcasts instead (count-gated, never
+Catalyst-estimated) and the only per-iteration exchange is the map-side
+partial-aggregated groupBy(dst).  The dangling mass each iteration needs
+is observed during the SAME job that materializes the previous iteration's
+ranks (``Observation`` fused into the eager lineage cut) — no extra
+per-round action.  Skewed in-degree (a celebrity page) is absorbed by the
+partial aggregation: reducers see one partial sum per map partition, not
+one row per in-edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from tabbyld_spark.functions.joins import count_gated_hint, loop_shuffle_width
+from tabbyld_spark.functions.lineage import cut
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    round_to: int | None = None,
+) -> DataFrame:
+    """edges(src, dst) directed → (node, rank) after ``iterations`` damped
+    power-method steps from the uniform vector.  Self-loops count as
+    ordinary edges; parallel edges collapse (the edge set is distinct'd).
+
+    ``round_to`` rounds the final rank (engine-portable output for
+    two-engine value comparison); intermediate math stays full double.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    sess = edges.sparkSession
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    # loop-invariant side: partition by the join key once, cut so the
+    # partitioning survives into every iteration's plan
+    e = cut(e.repartition(F.col("src")))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("_deg"))
+    nodes = cut(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(outdeg.withColumnRenamed("src", "node"), "node", "left")
+    )  # (node, _deg) with _deg NULL ⇔ dangling; node set is loop-static
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    n_dang = nodes.filter(F.col("_deg").isNull()).count()
+
+    d = float(damping)
+    base = (1.0 - d) / n
+    ranks = nodes.select("node", "_deg", F.lit(1.0 / n).alias("rank"))
+    dang = n_dang / float(n)  # sum of uniform rank over dangling nodes
+
+    with loop_shuffle_width(sess, n):
+        for _ in range(iterations):
+            contribs = (
+                e.join(
+                    count_gated_hint(
+                        ranks.filter(F.col("_deg").isNotNull()).select(
+                            F.col("node").alias("src"),
+                            (F.col("rank") / F.col("_deg")).alias("_w"),
+                        ),
+                        n,
+                    ),
+                    "src",
+                )
+                .groupBy("dst")
+                .agg(F.sum("_w").alias("_contrib"))
+            )
+            obs = Observation()
+            ranks = cut(
+                nodes.join(
+                    contribs.withColumnRenamed("dst", "node"), "node", "left"
+                )
+                .select(
+                    "node",
+                    "_deg",
+                    (
+                        F.lit(base)
+                        + F.lit(d)
+                        * (F.coalesce(F.col("_contrib"), F.lit(0.0)) + F.lit(dang / n))
+                    ).alias("rank"),
+                )
+                .observe(
+                    obs,
+                    F.sum(
+                        F.when(F.col("_deg").isNull(), F.col("rank")).otherwise(
+                            F.lit(0.0)
+                        )
+                    ).alias("dang"),
+                )
+            )
+            dang = obs.get["dang"] or 0.0
+
+    out = ranks.select("node", "rank")
+    if round_to is not None:
+        out = out.select("node", F.round("rank", round_to).alias("rank"))
+    return out

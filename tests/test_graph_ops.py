@@ -84,3 +84,65 @@ def test_same_as_edges_star_topology(spark):
     assert edges.count() == 2
     comp = connected_components(edges)
     assert comp.select("component").distinct().count() == 1
+
+
+# --------------------------------------------------------------------------
+# PageRank (operators/graphrank.py)
+# --------------------------------------------------------------------------
+
+def _np_pagerank(edges, d=0.85, iters=10):
+    """Independent dense power-iteration oracle (same dangling handling)."""
+    import numpy as np
+
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    for u, v in set(edges):
+        out.setdefault(u, []).append(v)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - d) / n)
+        dang = sum(r[idx[u]] for u in nodes if u not in out)
+        nxt += d * dang / n
+        for u, vs in out.items():
+            w = d * r[idx[u]] / len(vs)
+            for v in vs:
+                nxt[idx[v]] += w
+        r = nxt
+    return {v: r[idx[v]] for v in nodes}
+
+
+_PR_EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+    ("d", "c"), ("e", "d"), ("e", "c"), ("f", "e"),
+    # g is a dangling sink (in-edges only); h isolated-with-out-edge
+    ("a", "g"), ("d", "g"), ("h", "a"),
+]
+
+
+def test_pagerank_matches_numpy_oracle(spark):
+    from tabbyld_spark.operators.graphrank import pagerank
+
+    edges = spark.createDataFrame(_PR_EDGES, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=10).collect()}
+    want = _np_pagerank(_PR_EDGES, iters=10)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, v
+    # probability mass preserved by the dangling redistribution
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_zero_iterations_is_uniform_and_resharding_invariant(spark):
+    from tabbyld_spark.operators.graphrank import pagerank
+
+    edges = spark.createDataFrame(_PR_EDGES, "src string, dst string")
+    n = len({u for u, _ in _PR_EDGES} | {v for _, v in _PR_EDGES})
+    uni = {r["node"]: r["rank"] for r in pagerank(edges, iterations=0).collect()}
+    assert all(abs(v - 1.0 / n) < 1e-15 for v in uni.values())
+    a = pagerank(edges, iterations=6, round_to=9).collect()
+    b = pagerank(edges.repartition(7), iterations=6, round_to=9).collect()
+    assert sorted((r["node"], r["rank"]) for r in a) == sorted(
+        (r["node"], r["rank"]) for r in b
+    )
