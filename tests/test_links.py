@@ -1,0 +1,86 @@
+"""Outlink extraction + host graph (extract/links.py).
+
+Crawl-realism probes: single- and double-quoted hrefs, fragment/relative
+links, malformed UTF-8 bytes (always present in real WARC payloads), junk
+URLs on either side of a host edge.
+"""
+
+from tabbyld_spark.extract.links import extract_outlinks, host_edges
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, h.encode("utf-8") if isinstance(h, str) else h) for u, h in rows],
+        "url string, html binary",
+    )
+
+
+def test_extract_outlinks_quoting_and_filtering(spark):
+    html = (
+        '<p><a href="https://a.example.com/x">dq</a>'
+        "<a href='http://b.example.com/y'>sq</a>"
+        '<a href="#frag">frag</a>'
+        '<a href="/relative/path">rel</a>'
+        '<a href="https://a.example.com/x">dup</a>'
+        '<A HREF="https://c.example.com/z">caps-attr-not-matched-ok</A></p>'
+    )
+    got = {
+        (r["src_url"], r["dst_url"])
+        for r in extract_outlinks(_pages(spark, [("https://me/p1", html)])).collect()
+    }
+    # dup collapses (array_distinct); fragment + relative dropped
+    assert ("https://me/p1", "https://a.example.com/x") in got
+    assert ("https://me/p1", "http://b.example.com/y") in got
+    assert all(not d.startswith("#") and d.startswith("http") for _, d in got)
+
+
+def test_extract_outlinks_survives_garbage_bytes(spark):
+    # invalid UTF-8 interleaved with a valid link: decode must replace, not
+    # fail the task, and the link outside the corrupted span still extracts
+    html = b'\xff\xfe<b>\x80</b><a href="https://ok.example.com/a">x</a>\xf0\x28\x8c\x28'
+    got = extract_outlinks(_pages(spark, [("https://me/p2", html)])).collect()
+    assert [(r["src_url"], r["dst_url"]) for r in got] == [
+        ("https://me/p2", "https://ok.example.com/a")
+    ]
+
+
+def test_host_edges_drops_self_loops_and_junk(spark):
+    links = spark.createDataFrame(
+        [
+            ("https://a.com/1", "https://b.com/2"),
+            ("https://a.com/1", "https://A.COM/other"),  # self-loop after lowering
+            ("https://a.com/1", "http://###"),  # junk dst host
+            ("https://b.com/9", "https://a.com/1"),
+            ("https://B.com/8", "https://a.com/7"),  # dup edge after lowering
+        ],
+        "src_url string, dst_url string",
+    )
+    got = {(r["src"], r["dst"]) for r in host_edges(links).collect()}
+    assert got == {("a.com", "b.com"), ("b.com", "a.com")}
+
+
+def test_pagerank_over_host_graph(spark):
+    """End-to-end: pages → outlinks → host edges → PageRank; the host every
+    other host links to must rank strictly highest."""
+    from tabbyld_spark.operators.graphrank import pagerank
+
+    hub = '<a href="https://hub.example.com/">h</a>'
+    rows = [
+        (f"https://site{i}.example.com/p", hub + f'<a href="https://site{(i + 1) % 4}.example.com/p">n</a>')
+        for i in range(4)
+    ] + [
+        (
+            "https://hub.example.com/",
+            # hub fans back out to all four sites: its large in-flow splits
+            # 4 ways, so hub itself stays the strict argmax
+            "".join(f'<a href="https://site{i}.example.com/p">s</a>' for i in range(4)),
+        )
+    ]
+    ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank(host_edges(extract_outlinks(_pages(spark, rows))), iterations=10).collect()
+    }
+    assert len(ranks) == 5
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    top = max(ranks, key=ranks.get)
+    assert top == "hub.example.com"
