@@ -725,24 +725,49 @@ def q_closure(spark, sf_dir):
 
 
 def q_connected_components(spark, sf_dir):
-    """Graph-materialize analytics over the order↔part co-purchase graph,
-    consolidated at node grain: hash-min connected components (undirected)
-    + 5-iteration damped PageRank over the directed o→p edges (every part
-    node is dangling — exercises the dangling-mass redistribution).  The
-    DuckDB twin pairs a recursive reachability CTE with the power method
-    unrolled as 5 chained CTEs — two independent formulations of both
-    algorithms."""
+    """The full crawl-graph path, consolidated at node grain: synthesized
+    crawl pages (url + html:binary with double-/single-quoted, fragment,
+    and relative anchors) → href extraction (extract/links.py, codegen
+    regexp over the lenient binary→string cast) → distinct host-grain
+    edges → hash-min connected components (undirected) + 5-iteration
+    damped PageRank.  Pages whose doc_id % 10 == 0 also link to sink hosts
+    no page lives on — dangling nodes, exercising PageRank's dangling-mass
+    redistribution.  The DuckDB twin re-synthesizes the identical HTML
+    string, re-extracts hrefs with its own regexp_extract_all, and pairs a
+    recursive reachability CTE with the power method unrolled as 5 chained
+    CTEs — two independent formulations of extraction AND both algorithms."""
+    from tabbyld_spark.extract.links import extract_outlinks, host_edges
     from tabbyld_spark.operators.components import connected_components
     from tabbyld_spark.operators.graphrank import pagerank
 
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 120)
-    # no .distinct(): the operator's batch-local union-find contraction
-    # dedups inherently, and the distinct's session-width shuffle would
-    # cost more than every loop round combined on this graph
-    edges = li.select(
-        F.concat(F.lit("o"), F.format_string("%09d", "l_orderkey")).alias("src"),
-        F.concat(F.lit("p"), F.format_string("%09d", "l_partkey")).alias("dst"),
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    h = (F.col("doc_id") % 23).cast("string")
+    a = ((F.col("doc_id") * 7 + 3) % 23).cast("string")
+    b = ((F.col("doc_id") * 11 + 5) % 23).cast("string")
+    sink = (F.col("doc_id") % 3).cast("string")
+    html = F.concat(
+        F.lit('<html><body><p>t</p><a href="#f">x</a><a href="/rel">r</a>'),
+        F.lit('<a href="https://h'), a, F.lit('.example.com/p/1">d</a>'),
+        F.lit("<a href='https://h"), b, F.lit(".example.com/q'>s</a>"),
+        F.coalesce(
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(
+                    F.lit('<a href="https://sink'), sink, F.lit('.example.com/">k</a>')
+                ),
+            ),
+            F.lit(""),
+        ),
+        F.lit("</body></html>"),
     )
+    pages = d.select(
+        F.concat(
+            F.lit("https://h"), h, F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        html.cast("binary").alias("html"),
+    )
+    edges = host_edges(extract_outlinks(pages))
     cc = connected_components(edges).select("node", "component")
     pr = pagerank(edges, damping=0.85, iterations=5, round_to=6)
     return cc.join(pr, "node").select(
@@ -1034,17 +1059,49 @@ def _pagerank_ctes(iters: int = 5) -> str:
     return ",\n            ".join(parts)
 
 
-# Graph-materialize twin: recursive reachability (connected components) +
-# the unrolled power method, joined at node grain — two independent
-# formulations of what operators/components.py + operators/graphrank.py
+# Crawl-graph twin: re-synthesize the identical HTML string, re-extract
+# hrefs with DuckDB's regexp_extract_all, derive host-grain edges, then
+# recursive reachability (connected components) + the unrolled power
+# method, joined at node grain — two independent formulations of the
+# extraction AND of what operators/components.py + operators/graphrank.py
 # compute iteratively.
 _CC_PAGERANK_SQL = (
     """
-            WITH RECURSIVE base AS (
+            WITH RECURSIVE crawl AS (
+                SELECT
+                    'https://h' || CAST(doc_id % 23 AS VARCHAR)
+                        || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                    '<html><body><p>t</p><a href="#f">x</a><a href="/rel">r</a>'
+                    || '<a href="https://h' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR)
+                        || '.example.com/p/1">d</a>'
+                    || '<a href=''https://h' || CAST((doc_id * 11 + 5) % 23 AS VARCHAR)
+                        || '.example.com/q''>s</a>'
+                    || CASE WHEN doc_id % 10 = 0
+                            THEN '<a href="https://sink' || CAST(doc_id % 3 AS VARCHAR)
+                                 || '.example.com/">k</a>'
+                            ELSE '' END
+                    || '</body></html>' AS html
+                FROM documents WHERE doc_id < 300
+            ),
+            hrefs AS (
+                SELECT url AS src_url,
+                       unnest(list_distinct(list_concat(
+                           regexp_extract_all(html,
+                               '<[aA]\\s[^>]*href\\s*=\\s*"([^"]*)"', 1),
+                           regexp_extract_all(html,
+                               '<[aA]\\s[^>]*href\\s*=\\s*''([^'']*)''', 1)
+                       ))) AS dst_url
+                FROM crawl
+            ),
+            base AS (
                 SELECT DISTINCT
-                    concat('o', format('{:09d}', l_orderkey)) AS src,
-                    concat('p', format('{:09d}', l_partkey)) AS dst
-                FROM lineitem WHERE l_orderkey < 120
+                    lower(regexp_extract(src_url, '^https?://([^/]+)', 1)) AS src,
+                    lower(regexp_extract(dst_url, '^https?://([^/]+)', 1)) AS dst
+                FROM hrefs
+                WHERE (dst_url LIKE 'http://%' OR dst_url LIKE 'https://%')
+                  AND lower(regexp_extract(src_url, '^https?://([^/]+)', 1))
+                      <> lower(regexp_extract(dst_url, '^https?://([^/]+)', 1))
+                  AND regexp_extract(dst_url, '^https?://([^/]+)', 1) <> ''
             ),
             sym AS (
                 SELECT src, dst FROM base
