@@ -1,0 +1,311 @@
+"""spark-submit entrypoints — the production run shape of the engine.
+
+The north rule's deployment form is::
+
+    zip -qr pipeline.zip tabbyld_spark
+    spark-submit --master <cluster> --py-files pipeline.zip job.py <command> ...
+
+``job.py`` (repo root) is a three-line shim around :func:`main`; everything
+submit-able lives here so ``--py-files`` ships one artifact.  Under
+spark-submit the master, executor sizing, and any ``--conf`` flags come from
+the submit command line, so this module builds its session with a plain
+``getOrCreate()`` (inheriting the submitted conf) instead of the ``local[N]``
+factory that tests and bench use — the same code path a 1000-executor
+deployment exercises.
+
+Commands (each prints exactly one JSON summary line on success):
+
+synth-pages   deterministic Common-Crawl-shaped fixture input (input_hint
+              schema: url, warc_ts, html:binary, text, lang), generated
+              DISTRIBUTED (one Arrow batch per id-range slice — content is a
+              pure function of (seed, page_id), so any partitioning yields
+              identical rows) plus the KG dimension tables and, optionally,
+              the gold annotations for evaluation.
+annotate      the flagship S1-S6 pages→triples run with per-stage snapshot
+              commits (kill it at any stage boundary; the rerun resumes from
+              the last committed snapshot — the summary line says which
+              stages were resumed vs computed).
+webprep       the FineWeb/RefinedWeb-style corpus prep: URL blocklist →
+              byte-identical extract → global line dedup → dedup/lang/quality
+              gates → chunk + pack into fixed token budgets.
+graph         the crawl link graph: pages → outlinks → host edges →
+              connected components + PageRank at node grain.
+
+Reference parity: the reference drives these flows from console commands
+(``php yii spreadsheet/annotate ...``, /root/reference/commands/
+SpreadsheetController.php); this module is that surface re-expressed as
+spark-submit applications.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+KG_TABLES = ("kg_labels", "kg_types", "kg_subclass", "kg_triples")
+GOLD_TABLES = ("gold_cea", "gold_cta", "gold_cpa")
+
+
+def _session(app_name: str) -> SparkSession:
+    """Inherit the spark-submit conf; only fill defaults that are unset.
+
+    ``spark.sql.shuffle.partitions`` is deliberately NOT forced here: on a
+    real cluster it must track executor count (set it via ``--conf`` or let
+    AQE coalesce), and under plain ``python job.py`` Spark's default applies.
+    """
+    return SparkSession.builder.appName(app_name).getOrCreate()
+
+
+def _emit(summary: dict) -> None:
+    print(json.dumps(summary, sort_keys=True))
+
+
+def _read_kg(spark: SparkSession, kg_dir: str) -> dict[str, DataFrame]:
+    return {
+        t: spark.read.parquet(os.path.join(kg_dir, f"{t}.parquet")) for t in KG_TABLES
+    }
+
+
+# ---------------------------------------------------------------------------
+# synth-pages
+# ---------------------------------------------------------------------------
+
+
+def cmd_synth_pages(args: argparse.Namespace) -> dict:
+    from tabbyld_spark.fixtures.kg import build_kg
+    from tabbyld_spark.fixtures.pages import gen_pages_df, gen_pages_pd
+
+    spark = _session("tabbyld-synth-pages")
+    kg = build_kg(seed=args.seed)
+    pages = gen_pages_df(
+        spark, kg, args.n_pages, seed=args.seed, typo_rate=args.typo_rate,
+        partitions=args.partitions,
+    )
+    pages_path = os.path.join(args.out, "pages")
+    pages.write.mode("overwrite").parquet(pages_path)
+
+    kg_dir = os.path.join(args.out, "kg")
+    for name, df in kg.to_spark(spark).items():
+        # one small file per dimension: these broadcast, they don't scan
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(kg_dir, f"{name}.parquet")
+        )
+
+    summary = {
+        "command": "synth-pages",
+        "pages": pages_path,
+        "n_pages": args.n_pages,
+        "kg": kg_dir,
+        "gold": None,
+    }
+    if args.with_gold:
+        # gold derivation replays the per-page content walk driver-side;
+        # it is test/eval tooling, bounded by design — refuse silly sizes
+        if args.n_pages > 50_000:
+            raise SystemExit("--with-gold is driver-side; use <= 50000 pages")
+        fx = gen_pages_pd(kg, n_pages=args.n_pages, seed=args.seed, typo_rate=args.typo_rate)
+        gold_dir = os.path.join(args.out, "gold")
+        for t in GOLD_TABLES:
+            spark.createDataFrame(getattr(fx, t)).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(gold_dir, f"{t}.parquet"))
+        summary["gold"] = gold_dir
+    return summary
+
+
+# ---------------------------------------------------------------------------
+# annotate
+# ---------------------------------------------------------------------------
+
+
+def cmd_annotate(args: argparse.Namespace) -> dict:
+    from tabbyld_spark.plans.pipeline import persist_evaluation, run_pipeline_resumable
+    from tabbyld_spark.sources.catalog import make_catalog
+
+    spark = _session("tabbyld-annotate")
+    pages = spark.read.parquet(args.pages)
+    kg = _read_kg(spark, args.kg)
+    catalog = make_catalog(spark, args.catalog)
+
+    stages = ("canonical", "cea", "cta", "cpa", "triples")
+    resumed = [t for t in ("canonical", "triples") if catalog.exists(t)]
+    triples = run_pipeline_resumable(
+        spark, pages, kg, catalog, fuzzy_enabled=not args.no_fuzzy
+    )
+    n_triples = triples.count()
+
+    summary = {
+        "command": "annotate",
+        "catalog": args.catalog,
+        "triples": n_triples,
+        "resumed_stages": resumed,
+        "computed_stages": [t for t in ("canonical", "triples") if t not in resumed],
+        "snapshots": {
+            t: (catalog.manifest(t) or {}).get("current") for t in stages
+        },
+        "evaluation": None,
+    }
+    if args.gold:
+        from types import SimpleNamespace
+
+        # persist_evaluation touches only .cea/.cta/.cpa (the resumable path
+        # commits exactly those); a full AnnotationResult would require the
+        # uncommitted intermediate frames
+        result = SimpleNamespace(
+            cea=catalog.read(spark, "cea"),
+            cta=catalog.read(spark, "cta"),
+            cpa=catalog.read(spark, "cpa"),
+        )
+        gold = {
+            t: spark.read.parquet(os.path.join(args.gold, f"{t}.parquet"))
+            for t in GOLD_TABLES
+        }
+        persist_evaluation(
+            catalog, result, gold["gold_cea"], gold["gold_cta"], gold["gold_cpa"]
+        )
+        # per-table metric rows stay in the catalog; the summary line carries
+        # the dataset-grain rollup (one row per task: cea/cta/cpa)
+        summary["evaluation"] = {
+            row["task"]: {
+                "precision": round(row["precision"], 6),
+                "recall": round(row["recall"], 6),
+            }
+            for row in catalog.read(spark, "metrics_dataset").collect()
+        }
+    return summary
+
+
+# ---------------------------------------------------------------------------
+# webprep
+# ---------------------------------------------------------------------------
+
+
+def cmd_webprep(args: argparse.Namespace) -> dict:
+    from pyspark.sql import functions as F
+
+    from tabbyld_spark.plans.webcorpus import prep_web_corpus
+
+    spark = _session("tabbyld-webprep")
+    pages = spark.read.parquet(args.pages)
+    blocklist = None
+    if args.blocklist:
+        with open(args.blocklist) as f:
+            domains = [ln.strip() for ln in f if ln.strip() and not ln.startswith("#")]
+        blocklist = spark.createDataFrame([(d,) for d in domains], "domain string")
+    seqs = prep_web_corpus(
+        pages,
+        blocklist=blocklist,
+        lang=args.lang,
+        max_tokens=args.max_tokens,
+        overlap=args.overlap,
+        seq_len=args.seq_len,
+        n_buckets=args.n_buckets,
+    )
+    seqs.write.mode("overwrite").parquet(args.out)
+    out = spark.read.parquet(args.out)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("chunks"),
+        F.countDistinct("doc_id").alias("docs"),
+        F.countDistinct("bucket", "pack_id").alias("packs"),
+    ).collect()[0]
+    return {
+        "command": "webprep",
+        "out": args.out,
+        "chunks": agg["chunks"],
+        "docs": agg["docs"],
+        "packs": agg["packs"],
+    }
+
+
+# ---------------------------------------------------------------------------
+# graph
+# ---------------------------------------------------------------------------
+
+
+def cmd_graph(args: argparse.Namespace) -> dict:
+    from pyspark.sql import functions as F
+
+    from tabbyld_spark.extract.links import extract_outlinks, host_edges
+    from tabbyld_spark.operators.components import connected_components
+    from tabbyld_spark.operators.graphrank import pagerank
+
+    spark = _session("tabbyld-graph")
+    pages = spark.read.parquet(args.pages)
+    edges = host_edges(extract_outlinks(pages))
+    cc = connected_components(edges, salt=args.salt)
+    pr = pagerank(edges, iterations=args.iterations, round_to=6)
+    nodes = cc.join(pr, "node", "inner")
+    nodes.write.mode("overwrite").parquet(args.out)
+    out = spark.read.parquet(args.out)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("nodes"),
+        F.countDistinct("component").alias("components"),
+    ).collect()[0]
+    return {
+        "command": "graph",
+        "out": args.out,
+        "nodes": agg["nodes"],
+        "components": agg["components"],
+    }
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="job.py", description="tabbyld_spark spark-submit jobs"
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sp = sub.add_parser("synth-pages", help="write deterministic fixture input")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--n-pages", type=int, default=2000)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--typo-rate", type=float, default=0.08)
+    sp.add_argument("--partitions", type=int, default=None)
+    sp.add_argument("--with-gold", action="store_true")
+    sp.set_defaults(func=cmd_synth_pages)
+
+    an = sub.add_parser("annotate", help="pages → triples with snapshot resume")
+    an.add_argument("--pages", required=True)
+    an.add_argument("--kg", required=True)
+    an.add_argument("--catalog", required=True)
+    an.add_argument("--gold", default=None)
+    an.add_argument("--no-fuzzy", action="store_true")
+    an.set_defaults(func=cmd_annotate)
+
+    wp = sub.add_parser("webprep", help="pages → packed training sequences")
+    wp.add_argument("--pages", required=True)
+    wp.add_argument("--out", required=True)
+    wp.add_argument("--blocklist", default=None, help="text file, one domain per line")
+    wp.add_argument("--lang", default="en")
+    wp.add_argument("--max-tokens", type=int, default=128)
+    wp.add_argument("--overlap", type=int, default=16)
+    wp.add_argument("--seq-len", type=int, default=2048)
+    wp.add_argument("--n-buckets", type=int, default=1024)
+    wp.set_defaults(func=cmd_webprep)
+
+    gr = sub.add_parser("graph", help="pages → host graph CC + PageRank")
+    gr.add_argument("--pages", required=True)
+    gr.add_argument("--out", required=True)
+    gr.add_argument("--iterations", type=int, default=10)
+    gr.add_argument("--salt", type=int, default=1)
+    gr.set_defaults(func=cmd_graph)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    _emit(args.func(args))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,163 @@
+"""The north rule's deployment shape, exercised for real: package the engine
+as pipeline.zip, launch ``spark-submit --py-files pipeline.zip job.py ...`` as
+a child JVM, and check the committed artifacts — synth input, the resumable
+annotate run (including a second invocation that must RESUME, not recompute),
+and the JSON summary contract every job prints.
+
+webprep/graph are exercised in-process against the shared test session (the
+submit mechanics are identical; no need to pay two more JVM boots)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _build_zip(tmpdir: str) -> str:
+    zpath = os.path.join(tmpdir, "pipeline.zip")
+    pkg = os.path.join(REPO, "tabbyld_spark")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def _spark_submit(zip_path: str, *job_args: str) -> dict:
+    """Run one job under spark-submit from an EMPTY cwd — the engine must
+    come from --py-files alone, not from an importable repo checkout."""
+    cmd = [
+        shutil.which("spark-submit") or "spark-submit",
+        "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.driver.memory=4g",
+        "--py-files", zip_path,
+        os.path.join(REPO, "job.py"),
+        *job_args,
+    ]
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        cmd, cwd=os.path.dirname(zip_path), env=env,
+        capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, f"spark-submit failed:\n{proc.stdout[-4000:]}\n{proc.stderr[-4000:]}"
+    # the summary is the last JSON line on stdout (log4j noise goes to stderr)
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    assert lines, f"no JSON summary on stdout:\n{proc.stdout[-2000:]}"
+    return json.loads(lines[-1])
+
+
+@pytest.fixture(scope="module")
+def submit_tree(tmp_path_factory):
+    """One zip + one synth-pages + one annotate run, shared by the asserts."""
+    tmp = str(tmp_path_factory.mktemp("submit"))
+    zip_path = _build_zip(tmp)
+    data = os.path.join(tmp, "data")
+    synth = _spark_submit(
+        zip_path, "synth-pages", "--out", data, "--n-pages", "40",
+        "--seed", "42", "--with-gold",
+    )
+    cat = os.path.join(tmp, "catalog")
+    first = _spark_submit(
+        zip_path, "annotate",
+        "--pages", os.path.join(data, "pages"),
+        "--kg", os.path.join(data, "kg"),
+        "--gold", os.path.join(data, "gold"),
+        "--catalog", cat,
+    )
+    return {"tmp": tmp, "zip": zip_path, "data": data, "catalog": cat,
+            "synth": synth, "first": first}
+
+
+def test_synth_pages_layout_and_schema(spark, submit_tree):
+    s = submit_tree["synth"]
+    assert s["command"] == "synth-pages" and s["n_pages"] == 40
+    pages = spark.read.parquet(os.path.join(submit_tree["data"], "pages"))
+    # input_hint schema: url, warc_ts, html:binary, text, lang
+    assert [f.name for f in pages.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
+    assert dict(pages.dtypes)["html"] == "binary"
+    assert pages.count() == 40
+
+
+def test_annotate_computes_then_resumes(submit_tree):
+    first = submit_tree["first"]
+    assert first["triples"] > 0
+    assert first["resumed_stages"] == []
+    assert set(first["computed_stages"]) == {"canonical", "triples"}
+    assert all(first["snapshots"][t] for t in ("canonical", "cea", "cta", "cpa", "triples"))
+    # the gold-driven evaluation rollup rides the summary line and meets the
+    # BASELINE gate even at 40 pages
+    ev = first["evaluation"]
+    assert set(ev) == {"CEA", "CTA", "CPA"}
+    for task in ev:
+        assert ev[task]["precision"] >= 0.95, (task, ev)
+        assert ev[task]["recall"] >= 0.95, (task, ev)
+
+    second = _spark_submit(
+        submit_tree["zip"], "annotate",
+        "--pages", os.path.join(submit_tree["data"], "pages"),
+        "--kg", os.path.join(submit_tree["data"], "kg"),
+        "--catalog", submit_tree["catalog"],
+    )
+    # S8 resume: both committed stages reused, snapshot ids unchanged,
+    # identical triple count without recomputation
+    assert set(second["resumed_stages"]) == {"canonical", "triples"}
+    assert second["computed_stages"] == []
+    assert second["triples"] == first["triples"]
+    assert second["snapshots"] == first["snapshots"]
+
+
+def test_webprep_and_graph_jobs_in_process(spark, submit_tree, tmp_path):
+    """Same entrypoints, driven through main() on the shared session."""
+    from tabbyld_spark import jobs
+
+    pages = os.path.join(submit_tree["data"], "pages")
+    out_seq = str(tmp_path / "seqs")
+    out_graph = str(tmp_path / "graph")
+    bl = tmp_path / "blocklist.txt"
+    bl.write_text("# comment\nblocked.example\n")
+
+    assert jobs.main([
+        "webprep", "--pages", pages, "--out", out_seq,
+        "--blocklist", str(bl), "--seq-len", "256",
+    ]) == 0
+    seqs = spark.read.parquet(out_seq)
+    assert seqs.count() > 0
+    assert {"doc_id", "chunk_text", "pack_id"} <= set(seqs.columns)
+
+    # the annotate fixture is a single-host crawl (no host-grain edges);
+    # the graph job gets the q_connected_components crawl shape instead
+    from pyspark.sql import functions as F
+
+    crawl = str(tmp_path / "crawl")
+    d = spark.range(120).select(F.col("id").alias("doc_id"))
+    h = (F.col("doc_id") % 23).cast("string")
+    a = ((F.col("doc_id") * 7 + 3) % 23).cast("string")
+    html = F.concat(
+        F.lit('<a href="https://h'), a, F.lit('.example.com/p">x</a>')
+    ).cast("binary")
+    d.select(
+        F.concat(F.lit("https://h"), h, F.lit(".example.com/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        html.alias("html"),
+    ).write.mode("overwrite").parquet(crawl)
+
+    assert jobs.main(["graph", "--pages", crawl, "--out", out_graph,
+                      "--iterations", "3"]) == 0
+    g = spark.read.parquet(out_graph)
+    assert {"node", "component", "rank"} <= set(g.columns)
+    assert g.count() > 0
