@@ -15,6 +15,8 @@ deployment exercises.
 
 Commands (each prints exactly one JSON summary line on success):
 
+warc-ingest   WARC / .warc.gz crawl files → the input_hint pages table
+              (file-grain parallel container decode, sources/warc.py).
 synth-pages   deterministic Common-Crawl-shaped fixture input (input_hint
               schema: url, warc_ts, html:binary, text, lang), generated
               DISTRIBUTED (one Arrow batch per id-range slice — content is a
@@ -67,6 +69,32 @@ def _emit(summary: dict) -> None:
 def _read_kg(spark: SparkSession, kg_dir: str) -> dict[str, DataFrame]:
     return {
         t: spark.read.parquet(os.path.join(kg_dir, f"{t}.parquet")) for t in KG_TABLES
+    }
+
+
+# ---------------------------------------------------------------------------
+# warc-ingest
+# ---------------------------------------------------------------------------
+
+
+def cmd_warc_ingest(args: argparse.Namespace) -> dict:
+    from pyspark.sql import functions as F
+
+    from tabbyld_spark.sources.warc import read_warc
+
+    spark = _session("tabbyld-warc-ingest")
+    pages = read_warc(spark, args.warc)
+    pages.write.mode("overwrite").parquet(args.out)
+    out = spark.read.parquet(args.out)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("pages"),
+        F.countDistinct("url").alias("urls"),
+    ).collect()[0]
+    return {
+        "command": "warc-ingest",
+        "out": args.out,
+        "pages": agg["pages"],
+        "urls": agg["urls"],
     }
 
 
@@ -263,6 +291,11 @@ def build_parser() -> argparse.ArgumentParser:
         prog="job.py", description="tabbyld_spark spark-submit jobs"
     )
     sub = p.add_subparsers(dest="command", required=True)
+
+    wi = sub.add_parser("warc-ingest", help="WARC crawl files → pages parquet")
+    wi.add_argument("--warc", required=True, help="path/glob of .warc / .warc.gz files")
+    wi.add_argument("--out", required=True)
+    wi.set_defaults(func=cmd_warc_ingest)
 
     sp = sub.add_parser("synth-pages", help="write deterministic fixture input")
     sp.add_argument("--out", required=True)
