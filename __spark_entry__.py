@@ -23,6 +23,7 @@ from tabbyld_spark.functions.normalize import (
 )
 from tabbyld_spark.operators.dedup import (
     decontaminate,
+    duplicate_span_profile,
     exact_dedup,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
@@ -482,16 +483,20 @@ def q_langid(spark, sf_dir):
 
 
 def q_doc_profile(spark, sf_dir):
-    """Doc-grain training-data profile, four operators in one oracled
+    """Doc-grain training-data profile, five operators in one oracled
     surface (registry slot consolidation): quality_stats ratios + both
     tokenizer counts (former q_quality), Gopher-style repetition signals
     (Rae et al. 2021 A1.1: top word-2-gram character coverage + duplicate
     word-3-gram fraction), the deterministic md5-bucket train/val split,
-    and the PII scrub (per-class replacement counts + md5 of the scrubbed
-    text).  The fixture docs are synthetic word salad with no natural PII,
-    so the PII leg plants deterministic doc_id-derived PII (email always;
-    phone iff doc_id%3==0; IPv4 iff doc_id%5==0) identically in both
-    engines, exercising hit and zero paths of every pattern class."""
+    the PII scrub (per-class replacement counts + md5 of the scrubbed
+    text), and the ExactSubstr duplicate-span rollup (Lee et al. 2021 at
+    k=4 token windows: corpus-duplicate window count, merged-span count,
+    covered tokens — the twin recomputes the spans with an independent
+    gaps-and-islands window-SQL formulation).  The fixture docs are
+    synthetic word salad with no natural PII, so the PII leg plants
+    deterministic doc_id-derived PII (email always; phone iff doc_id%3==0;
+    IPv4 iff doc_id%5==0) identically in both engines, exercising hit and
+    zero paths of every pattern class."""
     from tabbyld_spark.operators.privacy import pii_profile
 
     d = _t(spark, sf_dir, "documents")
@@ -541,6 +546,7 @@ def q_doc_profile(spark, sf_dir):
         q.join(gopher_repetition(d), "doc_id")
         .join(train_split(d), "doc_id")
         .join(pii, "doc_id")
+        .join(duplicate_span_profile(d, k=4), "doc_id")
     )
 
 
@@ -1618,14 +1624,65 @@ def oracle_sql() -> dict[str, str]:
                        CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
                        md5(regexp_replace(t, '{PII_PHONE_RE}', '<PHONE>', 'g')) AS pii_scrub_md5
                 FROM p2
+            ),
+            -- ExactSubstr duplicate spans, k=4 (operators/dedup.py
+            -- duplicate_span_profile): same window hashes, but the span
+            -- merge is an independent gaps-and-islands formulation instead
+            -- of the Spark in-expression fold
+            ds_pos AS (
+                SELECT doc_id, t, unnest(range(1, len(t) - 4 + 2)) AS i
+                FROM rbase WHERE len(t) >= 4
+            ),
+            ds_wins AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(t[i : i + 4 - 1], ' ')) AS wh,
+                       doc_id * 4294967296 + (i - 1) AS okey
+                FROM ds_pos
+            ),
+            ds_firsts AS (
+                SELECT wh, count(*) AS n_occ, min(okey) AS fk
+                FROM ds_wins GROUP BY wh
+            ),
+            ds_dup AS (
+                SELECT w.doc_id, w.pos FROM ds_wins w JOIN ds_firsts f USING (wh)
+                WHERE f.n_occ > 1 AND w.okey <> f.fk
+            ),
+            ds_marks AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos > coalesce(max(pos + 4) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                       THEN 1 ELSE 0 END AS brk
+                FROM ds_dup
+            ),
+            ds_isl AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM ds_marks
+            ),
+            ds_spans AS (
+                SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+                FROM ds_isl GROUP BY doc_id, island
+            ),
+            ds AS (
+                SELECT d.doc_id,
+                       CAST(coalesce(dw.nw, 0) AS BIGINT) AS n_dup_windows,
+                       CAST(coalesce(spn.ns, 0) AS BIGINT) AS n_dup_spans,
+                       CAST(coalesce(spn.cov, 0) AS BIGINT) AS n_dup_tokens
+                FROM documents d
+                LEFT JOIN (SELECT doc_id, count(*) AS nw FROM ds_dup
+                           GROUP BY doc_id) dw USING (doc_id)
+                LEFT JOIN (SELECT doc_id, count(*) AS ns, sum(e - s) AS cov
+                           FROM ds_spans GROUP BY doc_id) spn USING (doc_id)
             )
             SELECT q.*, rep.top_2gram, rep.top_2gram_count, rep.top_2gram_frac,
                    rep.dup_3gram_frac,
                    CAST(sp.bucket AS BIGINT) AS bucket,
                    CASE WHEN sp.bucket < 10 THEN 'val' ELSE 'train' END AS split,
-                   pii.n_emails, pii.n_ips, pii.n_phones, pii.pii_scrub_md5
+                   pii.n_emails, pii.n_ips, pii.n_phones, pii.pii_scrub_md5,
+                   ds.n_dup_windows, ds.n_dup_spans, ds.n_dup_tokens
             FROM q JOIN rep USING (doc_id) JOIN sp USING (doc_id)
-                   JOIN pii USING (doc_id)
+                   JOIN pii USING (doc_id) JOIN ds USING (doc_id)
         """,
         "q_langid": f"""
             WITH toks AS (

@@ -376,3 +376,200 @@ def line_dedup(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplicate spans (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr method, re-expressed
+# for Spark: the paper builds one giant suffix array over the concatenated
+# corpus on one machine; a suffix array is not a distributed-friendly
+# structure, but its USE here — "find every maximal substring of >= k tokens
+# that occurs more than once in the corpus, keep the first occurrence" — is
+# exactly a fixed-width rolling-window duplicate scan, which IS distributable:
+# hash every k-token window, aggregate window occurrences globally (one
+# content-hash shuffle with map-side partials), mark every occurrence except
+# the corpus-wide first, and merge overlapping duplicate windows per document
+# into maximal spans in a single array expression.  Overlapping k-windows
+# cover any duplicated run of length >= k, so merged spans equal the paper's
+# maximal duplicated substrings at token granularity.
+# ---------------------------------------------------------------------------
+
+
+def _window_occurrences(docs: DataFrame, k: int, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, pos, wh, okey): every k-token window of the whitespace-
+    normalized text — ``pos`` is the 0-based token index, ``wh`` the md5 of
+    the window string (128-bit: hash-only grouping is collision-safe where a
+    64-bit hash would silently merge distinct windows at 10^12-doc scale),
+    ``okey`` = doc_id * 2^32 + pos, the total occurrence order both engines
+    can min() without struct-comparison semantics.  One lookahead-capture
+    regex pass per doc (never slice-in-transform — the O(tokens²) HOF
+    re-evaluation trap, see word_shingles).  Docs with < k tokens emit no
+    windows: a text shorter than the match threshold has nothing to dedup."""
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    pat = rf"(?=(\S+(?: \S+){{{k - 1}}}))\S+ ?"
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.regexp_extract_all(norm, F.lit(pat), 1)).alias("pos", "w"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5("w").alias("wh"),
+            (F.col("doc_id").cast("long") * F.lit(2**32) + F.col("pos")).alias("okey"),
+        )
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame, k: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """→ (doc_id, span_start, span_end, n_windows): maximal token ranges
+    [span_start, span_end) whose every k-window also occurs EARLIER in the
+    corpus (earlier = smaller (doc_id, pos)); the corpus-wide first
+    occurrence of each window is never marked, so scrubbing the spans keeps
+    exactly one copy of every duplicated run — within-doc repeats included.
+
+    Scale shape: groupBy(wh) carries map-side partial count/min (a
+    boilerplate window occurring 10^6 times costs one row per map task, the
+    line_dedup argument), the join back is wh-keyed equi (uniform by
+    construction), and the interval merge is one in-expression pass over the
+    per-doc sorted position array (bounded by tokens/doc, the winnowing
+    memory argument)."""
+    wins = _window_occurrences(docs, k, text_col, id_col)
+    firsts = wins.groupBy("wh").agg(
+        F.count(F.lit(1)).alias("n_occ"), F.min("okey").alias("first_okey")
+    )
+    dup_pos = (
+        wins.join(firsts.filter(F.col("n_occ") > 1), "wh")
+        .filter(F.col("okey") != F.col("first_okey"))
+        .select("doc_id", "pos")
+    )
+    merged = (
+        dup_pos.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("ps"))
+        .select(
+            "doc_id",
+            F.aggregate(
+                "ps",
+                F.lit(None).cast("array<struct<s:int,e:int>>"),
+                lambda acc, p: F.when(acc.isNull(), F.array(F.struct(p.alias("s"), (p + k).alias("e"))))
+                .when(
+                    p <= F.element_at(acc, -1).e,
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(
+                            F.struct(
+                                F.element_at(acc, -1).s.alias("s"),
+                                F.greatest(F.element_at(acc, -1).e, p + k).alias("e"),
+                            )
+                        ),
+                    ),
+                )
+                .otherwise(F.concat(acc, F.array(F.struct(p.alias("s"), (p + k).alias("e"))))),
+            ).alias("spans"),
+        )
+    )
+    return merged.select(
+        "doc_id",
+        F.explode("spans").alias("sp"),
+    ).select(
+        "doc_id",
+        F.col("sp.s").cast("long").alias("span_start"),
+        F.col("sp.e").cast("long").alias("span_end"),
+    )
+
+
+def duplicate_span_profile(
+    docs: DataFrame, k: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Doc-grain rollup of :func:`duplicate_spans`, zero-filled for clean
+    docs: (doc_id, n_dup_windows, n_dup_spans, n_dup_tokens)."""
+    wins = _window_occurrences(docs, k, text_col, id_col)
+    firsts = wins.groupBy("wh").agg(
+        F.count(F.lit(1)).alias("n_occ"), F.min("okey").alias("first_okey")
+    )
+    dup_pos = (
+        wins.join(firsts.filter(F.col("n_occ") > 1), "wh")
+        .filter(F.col("okey") != F.col("first_okey"))
+        .select("doc_id", "pos")
+    )
+    per_doc = (
+        dup_pos.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("ps"))
+        .select(
+            "doc_id",
+            F.size("ps").cast("long").alias("n_dup_windows"),
+            F.aggregate(
+                "ps",
+                # (spans, last_end): count a span on every gap, sum covered
+                # tokens as extension beyond the running end
+                F.struct(F.lit(0).cast("long").alias("n"), F.lit(-1).cast("long").alias("end"), F.lit(0).cast("long").alias("cov")),
+                lambda acc, p: F.struct(
+                    (acc.n + F.when(p > acc.end, 1).otherwise(0)).alias("n"),
+                    F.greatest(acc.end, (p + k).cast("long")).alias("end"),
+                    (
+                        acc.cov
+                        + F.when(p >= acc.end, F.lit(k).cast("long")).otherwise(
+                            F.greatest(F.lit(0).cast("long"), (p + k).cast("long") - acc.end)
+                        )
+                    ).alias("cov"),
+                ),
+                lambda acc: F.struct(acc.n.alias("n"), acc.cov.alias("cov")),
+            ).alias("agg"),
+        )
+        .select("doc_id", "n_dup_windows", F.col("agg.n").alias("n_dup_spans"), F.col("agg.cov").alias("n_dup_tokens"))
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame, k: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """→ (doc_id, text, n_removed_tokens): the whitespace-normalized text
+    with every duplicate span scrubbed (corpus-wide first occurrence kept —
+    the ExactSubstr edit).  The keep-mask is built by one pass over the
+    per-doc span list (O(tokens × spans_per_doc), spans already merged and
+    few), never a per-token exists() over a column array — the HOF
+    re-evaluation trap."""
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    spans = (
+        duplicate_spans(docs, k=k, text_col=text_col, id_col=id_col)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").cast("int").alias("s"),
+                    F.col("span_end").cast("int").alias("e"),
+                )
+            ).alias("spans")
+        )
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.length(norm) > 0, F.split(norm, " ")).otherwise(
+            F.array().cast("array<string>")
+        ).alias("t"),
+    )
+    joined = toks.join(spans, "doc_id", "left")
+    mask = F.when(F.col("spans").isNull(), F.array_repeat(F.lit(True), F.size("t"))).otherwise(
+        F.aggregate(
+            "spans",
+            F.array_repeat(F.lit(True), F.size("t")),
+            lambda acc, sp: F.transform(
+                acc, lambda keep, i: keep & ~((i >= sp.s) & (i < sp.e))
+            ),
+        )
+    )
+    kept = F.filter(F.arrays_zip(F.col("t"), mask.alias("m")), lambda z: z.m)
+    return joined.select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda z: z.t), " ").alias("text"),
+        (F.size("t") - F.size(kept)).cast("long").alias("n_removed_tokens"),
+    )
