@@ -56,6 +56,7 @@ def main() -> None:
         "q_quality",
         "q_gopher_repetition",
         "q_decontam",
+        "q_span_dedup",
         "q_fingerprint",
         "q_winnow",
         "q_winnow_pairs",
@@ -118,6 +119,15 @@ def main() -> None:
 
         return gopher_repetition(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
+    def _span_dedup_workload(spark, sf_dir):
+        # ExactSubstr doc-grain rollup over the full corpus (registry entry
+        # folded into q_doc_profile; the bench times the operator standalone)
+        from tabbyld_spark.operators.dedup import duplicate_span_profile
+
+        return duplicate_span_profile(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), k=8
+        )
+
     workloads = dict(registry)
     workloads["q_ann_lsh"] = _ann_lsh_workload
     workloads["q_ngram_jaccard"] = _ngram_jaccard_workload
@@ -126,6 +136,7 @@ def main() -> None:
     workloads["q_langid"] = _langid_workload
     workloads["q_langid_ngram"] = _langid_ngram_workload
     workloads["q_gopher_repetition"] = _gopher_workload
+    workloads["q_span_dedup"] = _span_dedup_workload
     times: dict[str, float] = {}
     for name in qnames:
         fn = workloads[name]
