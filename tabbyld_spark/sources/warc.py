@@ -129,6 +129,22 @@ def warc_responses(content: bytes) -> Iterator[tuple[str, str, bytes]]:
         yield url, headers.get("warc-date", ""), body
 
 
+def _parse_warc_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [
+            (url, date, body)
+            for content in pdf["content"]
+            for url, date, body in warc_responses(bytes(content))
+        ]
+        out = pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
+        out["warc_ts"] = pd.to_datetime(
+            out["warc_ts"], errors="coerce", utc=True, format="ISO8601"
+        )
+        out["text"] = pd.Series([None] * len(out), dtype="object")
+        out["lang"] = pd.Series([None] * len(out), dtype="object")
+        yield out
+
+
 def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     """WARC files → pages(url, warc_ts, html, text, lang).
 
@@ -136,23 +152,35 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     text; operators/textstats.py langid derives lang), keeping the ingest a
     pure container decode with the exact input_hint schema."""
     binary = spark.read.format("binaryFile").load(path_glob).select("content")
+    return binary.mapInPandas(_parse_warc_batches, schema=PAGES_SCHEMA)
 
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = [
-                (url, date, body)
-                for content in pdf["content"]
-                for url, date, body in warc_responses(bytes(content))
-            ]
-            out = pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
-            out["warc_ts"] = pd.to_datetime(
-                out["warc_ts"], errors="coerce", utc=True, format="ISO8601"
-            )
-            out["text"] = pd.Series([None] * len(out), dtype="object")
-            out["lang"] = pd.Series([None] * len(out), dtype="object")
-            yield out
 
-    return binary.mapInPandas(parse, schema=PAGES_SCHEMA)
+# binaryFile's fixed file-metadata schema: streaming file sources require it
+# spelled out (no inference on an empty directory)
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_warc_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """Continuous crawl ingest: WARC files landing in ``input_dir`` → a
+    streaming pages frame (same schema and parser as :func:`read_warc`).
+
+    The file source tracks processed files in the query checkpoint, so a
+    crawl fetcher dropping ``.warc.gz`` segments gets exactly-once ingest
+    across restarts; ``maxFilesPerTrigger`` bounds per-micro-batch work the
+    way streaming/ingest.py bounds parquet ingest.  Compose with
+    streaming/stateful.py dedup or foreachBatch annotation downstream."""
+    binary = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(input_dir)
+        .select("content")
+    )
+    return binary.mapInPandas(_parse_warc_batches, schema=PAGES_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -150,3 +150,41 @@ def test_warc_ingest_job(spark, warc_dir, tmp_path):
     out = str(tmp_path / "pages")
     assert jobs.main(["warc-ingest", "--warc", warc_dir, "--out", out]) == 0
     assert spark.read.parquet(out).count() == 3
+
+
+def test_read_warc_stream_exactly_once(spark, tmp_path):
+    """Crawl segments landing over time: each file ingested exactly once
+    across separate stream runs sharing one checkpoint (restart = rerun)."""
+    from tabbyld_spark.sources.warc import read_warc_stream
+
+    indir, outdir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(indir)
+
+    def run_once():
+        q = (
+            read_warc_stream(spark, indir, max_files_per_trigger=2)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (tmp_path / "in" / "a.warc").write_bytes(render_warc(RECS[:2]))
+    run_once()
+    got = spark.read.parquet(outdir)
+    assert got.count() == 2
+
+    # second segment lands (gzipped); only its rows are appended
+    (tmp_path / "in" / "b.warc.gz").write_bytes(
+        render_warc(RECS[2:], per_record_gzip=True)
+    )
+    run_once()
+    assert spark.read.parquet(outdir).count() == 3
+
+    # restart with nothing new: no duplicates
+    run_once()
+    rows = spark.read.parquet(outdir)
+    assert rows.count() == 3
+    assert {r["url"] for r in rows.collect()} == {u for u, _, _ in RECS}
