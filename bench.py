@@ -62,6 +62,7 @@ def main() -> None:
         "q_winnow_pairs",
         "q_cosine_topk",
         "q_ann_lsh",
+        "q_ann_ivf",
         "q_connected_components",
         "q_webprep",
     ]
@@ -78,6 +79,16 @@ def main() -> None:
 
         e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5, dim=64)
+
+    def _ann_ivf_workload(spark, sf_dir):
+        # the IVF index itself (build + probe), timed since the round-4
+        # in-expression centroid assignment removed its per-iteration shuffle
+        from pyspark.sql import functions as F
+
+        from tabbyld_spark.operators.similarity import ivf_topk
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5, n_centroids=8, n_probe=6)
 
     def _ngram_jaccard_workload(spark, sf_dir):
         # kept as a timed workload after the registry entry merged into the
@@ -130,6 +141,7 @@ def main() -> None:
 
     workloads = dict(registry)
     workloads["q_ann_lsh"] = _ann_lsh_workload
+    workloads["q_ann_ivf"] = _ann_ivf_workload
     workloads["q_ngram_jaccard"] = _ngram_jaccard_workload
     workloads["q_fingerprint"] = _fingerprint_workload
     workloads["q_quality"] = _quality_workload

@@ -232,6 +232,7 @@ def cmd_webprep(args: argparse.Namespace) -> dict:
         overlap=args.overlap,
         seq_len=args.seq_len,
         n_buckets=args.n_buckets,
+        exact_substr_k=args.exact_substr_k,
     )
     seqs.write.mode("overwrite").parquet(args.out)
     out = spark.read.parquet(args.out)
@@ -323,6 +324,10 @@ def build_parser() -> argparse.ArgumentParser:
     wp.add_argument("--overlap", type=int, default=16)
     wp.add_argument("--seq-len", type=int, default=2048)
     wp.add_argument("--n-buckets", type=int, default=1024)
+    wp.add_argument(
+        "--exact-substr-k", type=int, default=None,
+        help="enable the ExactSubstr duplicate-span scrub at this window size",
+    )
     wp.set_defaults(func=cmd_webprep)
 
     gr = sub.add_parser("graph", help="pages → host graph CC + PageRank")

@@ -400,8 +400,10 @@ def _window_occurrences(docs: DataFrame, k: int, text_col: str, id_col: str) -> 
     normalized text — ``pos`` is the 0-based token index, ``wh`` the md5 of
     the window string (128-bit: hash-only grouping is collision-safe where a
     64-bit hash would silently merge distinct windows at 10^12-doc scale),
-    ``okey`` = doc_id * 2^32 + pos, the total occurrence order both engines
-    can min() without struct-comparison semantics.  One lookahead-capture
+    ``okey`` = struct(doc_id, pos), the total occurrence order (struct min
+    is lexicographic, so it works for numeric ids and url-string ids alike;
+    the numeric DuckDB twins min doc_id*2^32+pos, which picks the identical
+    first occurrence).  One lookahead-capture
     regex pass per doc (never slice-in-transform — the O(tokens²) HOF
     re-evaluation trap, see word_shingles).  Docs with < k tokens emit no
     windows: a text shorter than the match threshold has nothing to dedup."""
@@ -416,7 +418,10 @@ def _window_occurrences(docs: DataFrame, k: int, text_col: str, id_col: str) -> 
             "doc_id",
             "pos",
             F.md5("w").alias("wh"),
-            (F.col("doc_id").cast("long") * F.lit(2**32) + F.col("pos")).alias("okey"),
+            # struct min = lexicographic (doc_id, pos) — works for numeric
+            # AND string ids (urls); for numeric ids this picks the same
+            # first occurrence as the DuckDB twins' doc_id*2^32+pos min
+            F.struct("doc_id", "pos").alias("okey"),
         )
     )
 

@@ -5,6 +5,11 @@ composed from the individually-tested operators:
     W1 URL filter        registrable-suffix blocklist, cheapest grain first
     W2 extract           html → byte-identical text (the ONE Arrow UDF)
     W3 line dedup        C4-style global first-occurrence line dedup
+    W3b span dedup       optional ExactSubstr duplicate-span scrub (Lee et
+                         al. 2021; ``exact_substr_k`` tokens, default off —
+                         FineWeb-class pipelines run line OR span dedup
+                         depending on corpus; both winners key on (url, pos)
+                         so determinism is preserved)
     W4 corpus prep       exact dedup → SimHash near-dup → language → quality
     W5 chunk + pack      overlapping token windows → contiguous-fill packs
 
@@ -39,6 +44,7 @@ def prep_web_corpus(
     overlap: int = 16,
     seq_len: int = 2048,
     n_buckets: int = 1024,
+    exact_substr_k: int | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang, …) → (seq_key, doc_id=url,
     chunk_id, chunk_text, n_chunk_tokens, bucket, cum_tokens, pack_id)."""
@@ -48,6 +54,12 @@ def prep_web_corpus(
         F.col("url").alias("doc_id"), F.col("extracted_text").alias("text")
     )
     deduped = line_dedup(docs).select("doc_id", "text")
+    if exact_substr_k is not None:
+        from tabbyld_spark.operators.dedup import remove_duplicate_spans
+
+        deduped = remove_duplicate_spans(deduped, k=exact_substr_k).select(
+            "doc_id", "text"
+        )
     return prep_training_sequences(
         deduped,
         lang=lang,
