@@ -614,31 +614,55 @@ def q_text_ranking(spark, sf_dir):
 
 
 def q_webprep(spark, sf_dir):
-    """The composed webtext corpus-prep path (plans/webcorpus.py W1+W3+W5),
-    value-oracled end-to-end: registrable-suffix URL blocklist filter →
-    C4-style global line dedup → overlapping-token-window chunking →
-    contiguous-fill sequence packing.  The crawl shape (url + multi-line
-    body) is synthesized deterministically from the documents table in BOTH
-    engines: url = https://d{doc_id%37}.{source}.example.com/p/{doc_id};
-    the body gets a newline after every 8th token (one global regex pass,
-    identical under Java regex and RE2 — non-overlapping left-to-right).
-    The blocklist blocks one registrable suffix (src3.example.com — drops
-    every subdomain of it) and one exact host, exercising both grains of
-    the suffix-chain semantics.  W2 (html → byte-identical text) is the one
-    non-SQL stage; it is pytest-gated against fixtures (test_extract.py)."""
+    """The composed webtext corpus-prep path (plans/webcorpus.py
+    W0+W1+W3+W5), value-oracled end-to-end: URL canonicalization + alias
+    dedup → registrable-suffix URL blocklist filter → C4-style global line
+    dedup → overlapping-token-window chunking → contiguous-fill sequence
+    packing.  The crawl shape (url + multi-line body) is synthesized
+    deterministically from the documents table in BOTH engines — and the
+    raw url is deliberately MESSY (uppercase scheme+host, explicit :443,
+    tracking-only query, fragment), with every 4th doc also emitted under a
+    second clean spelling: W0 must collapse both to the same canonical
+    https://d{doc_id%37}.{source}.example.com/p/{doc_id} (one survivor per
+    doc — a failure would double those docs' lines and shift every
+    downstream hash).  The twin canonicalizes with an independent regex +
+    list_filter/list_sort formulation.  The body gets a newline after every
+    8th token (one global regex pass, identical under Java regex and RE2 —
+    non-overlapping left-to-right).  The blocklist blocks one registrable
+    suffix (src3.example.com — drops every subdomain of it) and one exact
+    host, exercising both grains of the suffix-chain semantics.  W2 (html →
+    byte-identical text) is the one non-SQL stage; it is pytest-gated
+    against fixtures (test_extract.py)."""
     from tabbyld_spark.operators.chunking import chunk_documents, pack_sequences
     from tabbyld_spark.operators.dedup import line_dedup
+    from tabbyld_spark.operators.urls import url_dedup
     from tabbyld_spark.operators.webfilter import url_filter
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    url = F.concat(
+    clean_url = F.concat(
         F.lit("https://d"), (F.col("doc_id") % 37).cast("string"),
         F.lit("."), F.col("source"), F.lit(".example.com/p/"),
         F.col("doc_id").cast("string"),
     )
+    messy_url = F.concat(
+        F.upper(
+            F.concat(
+                F.lit("https://d"), (F.col("doc_id") % 37).cast("string"),
+                F.lit("."), F.col("source"), F.lit(".example.com"),
+            )
+        ),
+        F.lit(":443/p/"), F.col("doc_id").cast("string"),
+        F.lit("?utm_source=crawl&fbclid=f"), F.col("doc_id").cast("string"),
+        F.lit("#s"), (F.col("doc_id") % 5).cast("string"),
+    )
     norm = F.regexp_replace(F.trim("text"), r"\s+", " ")
     body = F.regexp_replace(norm, r"((?:\S+ ){7}\S+) ", "$1\n")
-    pages = d.select(url.alias("url"), body.alias("text"))
+    pages = d.select(messy_url.alias("url"), body.alias("text")).unionByName(
+        d.filter(F.col("doc_id") % 4 == 0).select(
+            clean_url.alias("url"), body.alias("text")
+        )
+    )
+    pages = url_dedup(pages).drop("source_url", "n_aliases")
     bl = spark.createDataFrame(
         [("src3.example.com",), ("d7.src0.example.com",)], "domain string"
     )
@@ -1901,16 +1925,70 @@ def oracle_sql() -> dict[str, str]:
             FROM top3 FULL OUTER JOIN bm ON top3.doc_id = bm.doc_id
         """,
         "q_webprep": """
-            WITH base AS (
-                SELECT 'https://d' || CAST(doc_id % 37 AS VARCHAR) || '.'
-                           || source || '.example.com/p/'
-                           || CAST(doc_id AS VARCHAR) AS url,
-                       'd' || CAST(doc_id % 37 AS VARCHAR) || '.'
-                           || source || '.example.com' AS host,
+            WITH docs0 AS (
+                SELECT doc_id, source,
                        regexp_replace(
                            trim(regexp_replace(text, '\\s+', ' ', 'g')),
                            '((?:\\S+ ){7}\\S+) ', '\\1' || chr(10), 'g') AS body
                 FROM documents
+            ),
+            raw_pages AS (
+                SELECT upper('https://d' || CAST(doc_id % 37 AS VARCHAR) || '.'
+                           || source || '.example.com')
+                           || ':443/p/' || CAST(doc_id AS VARCHAR)
+                           || '?utm_source=crawl&fbclid=f'
+                           || CAST(doc_id AS VARCHAR)
+                           || '#s' || CAST(doc_id % 5 AS VARCHAR) AS url,
+                       body
+                FROM docs0
+                UNION ALL
+                SELECT 'https://d' || CAST(doc_id % 37 AS VARCHAR) || '.'
+                           || source || '.example.com/p/'
+                           || CAST(doc_id AS VARCHAR) AS url,
+                       body
+                FROM docs0 WHERE doc_id % 4 = 0
+            ),
+            -- W0 twin: independent canonicalization (regex piece extraction
+            -- + list_filter/list_sort), then one survivor per canonical url
+            pieces AS (
+                SELECT url, body,
+                    coalesce(lower(regexp_extract(url,
+                        '^([a-zA-Z][a-zA-Z0-9+.\\-]*)://', 1)), '') AS proto,
+                    coalesce(lower(regexp_extract(url,
+                        '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#:@]+)', 1)), '') AS host,
+                    coalesce(regexp_extract(url,
+                        '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*:(\\d+)', 1), '') AS port,
+                    coalesce(regexp_extract(url,
+                        '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*([^?#]*)', 1), '') AS path,
+                    CASE WHEN url LIKE '%?%'
+                         THEN regexp_extract(url, '\\?([^#]*)', 1) ELSE '' END AS qr
+                FROM raw_pages
+            ),
+            canon0 AS (
+                SELECT body,
+                    proto || '://' || host ||
+                    CASE WHEN port = '' OR (proto, port) IN
+                              (('http','80'),('https','443'),('ftp','21'),
+                               ('ws','80'),('wss','443'))
+                         THEN '' ELSE ':' || port END ||
+                    CASE WHEN path = '' THEN '/' ELSE path END ||
+                    CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS url,
+                    host
+                FROM (
+                    SELECT *, coalesce(array_to_string(list_sort(list_filter(
+                        string_split(qr, '&'),
+                        x -> x <> '' AND NOT lower(string_split(x, '=')[1]) IN (
+                            'utm_source','utm_medium','utm_campaign','utm_term',
+                            'utm_content','utm_id','gclid','dclid','fbclid',
+                            'msclkid','twclid','igshid','mc_cid','mc_eid',
+                            '_hsenc','_hsmi','oly_enc_id','oly_anon_id'))),
+                        '&'), '') AS qs
+                    FROM pieces
+                )
+            ),
+            base AS (
+                SELECT url, host, min(body) AS body
+                FROM canon0 GROUP BY url, host
             ),
             kept AS (
                 SELECT url AS doc_id, body FROM base

@@ -233,6 +233,7 @@ def cmd_webprep(args: argparse.Namespace) -> dict:
         seq_len=args.seq_len,
         n_buckets=args.n_buckets,
         exact_substr_k=args.exact_substr_k,
+        canonicalize_urls=args.canonicalize_urls,
     )
     seqs.write.mode("overwrite").parquet(args.out)
     out = spark.read.parquet(args.out)
@@ -327,6 +328,11 @@ def build_parser() -> argparse.ArgumentParser:
     wp.add_argument(
         "--exact-substr-k", type=int, default=None,
         help="enable the ExactSubstr duplicate-span scrub at this window size",
+    )
+    wp.add_argument(
+        "--canonicalize-urls", action="store_true",
+        help="W0: collapse URL-spelling aliases (case/ports/tracking/order/"
+        "fragments) to one canonical survivor per page before any content work",
     )
     wp.set_defaults(func=cmd_webprep)
 

@@ -2,6 +2,10 @@
 model-ready packed training sequences out — the FineWeb/RefinedWeb shape,
 composed from the individually-tested operators:
 
+    W0 URL canonicalize  optional alias collapse (``canonicalize_urls=``):
+                         scheme/host case, default ports, tracking params,
+                         query order, fragments — one canonical survivor
+                         per page BEFORE any content work runs
     W1 URL filter        registrable-suffix blocklist, cheapest grain first
     W2 extract           html → byte-identical text (the ONE Arrow UDF)
     W3 line dedup        C4-style global first-occurrence line dedup
@@ -45,9 +49,18 @@ def prep_web_corpus(
     seq_len: int = 2048,
     n_buckets: int = 1024,
     exact_substr_k: int | None = None,
+    canonicalize_urls: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang, …) → (seq_key, doc_id=url,
     chunk_id, chunk_text, n_chunk_tokens, bucket, cum_tokens, pack_id)."""
+    if canonicalize_urls:
+        from tabbyld_spark.operators.urls import url_dedup
+
+        # W0: collapse raw URL-spelling aliases to one canonical survivor
+        # per page (winner = min raw url — content-independent, so doc_id
+        # stays a pure function of the input set); unparseable URLs pass
+        # through and W1/W2 treat them as they always did
+        pages = url_dedup(pages).drop("source_url", "n_aliases")
     if blocklist is not None:
         pages = url_filter(pages, blocklist)
     docs = extract_pages(pages).select(

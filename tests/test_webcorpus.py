@@ -44,6 +44,31 @@ def test_deterministic_under_resharding(spark, pages):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_canonicalize_urls_collapses_aliases_to_identical_output(spark, pages):
+    """W0: a corpus polluted with URL-spelling aliases of every page (case,
+    :443, tracking query, fragment) must produce EXACTLY the clean corpus's
+    output when canonicalize_urls is on — the aliases collapse before any
+    content stage sees them."""
+    kw = dict(lang="en", max_tokens=32, overlap=8, seq_len=256, n_buckets=8)
+    aliased = pages.unionByName(
+        pages.withColumn(
+            "url",
+            F.concat(
+                F.upper(F.regexp_replace("url", r"/page/.*$", "")),
+                F.lit(":443"),
+                F.regexp_extract("url", r"(/page/.*)$", 1),
+                F.lit("?utm_source=test#frag"),
+            ),
+        )
+    )
+    clean = prep_web_corpus(pages, canonicalize_urls=True, **kw)
+    polluted = prep_web_corpus(aliased, canonicalize_urls=True, **kw)
+    a = clean.select("seq_key", "chunk_text", "bucket", "pack_id")
+    b = polluted.select("seq_key", "chunk_text", "bucket", "pack_id")
+    assert a.count() > 0
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_exact_substr_stage_scrubs_cross_page_duplicates(spark, pages):
     """W3b: with exact_substr_k on, token runs duplicated across pages are
     kept once corpus-wide, so total chunk tokens can only shrink; output
