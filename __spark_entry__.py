@@ -492,7 +492,11 @@ def q_doc_profile(spark, sf_dir):
     text), and the ExactSubstr duplicate-span rollup (Lee et al. 2021 at
     k=4 token windows: corpus-duplicate window count, merged-span count,
     covered tokens — the twin recomputes the spans with an independent
-    gaps-and-islands window-SQL formulation).  The fixture docs are
+    gaps-and-islands window-SQL formulation), and the deterministic
+    mixture-sampling decisions (per-source rates 0.25/2.5/0.0/default-1.0,
+    hash-Bernoulli keeps + upsample copy counts — operators/sampling.py;
+    mix_u is floored to 6 digits because round() tie rules can differ
+    between engines).  The fixture docs are
     synthetic word salad with no natural PII, so the PII leg plants
     deterministic doc_id-derived PII (email always; phone iff doc_id%3==0;
     IPv4 iff doc_id%5==0) identically in both engines, exercising hit and
@@ -542,11 +546,24 @@ def q_doc_profile(spark, sf_dir):
         "n_phones",
         F.md5(F.col("scrubbed").cast("binary")).alias("pii_scrub_md5"),
     )
+    from tabbyld_spark.operators.sampling import sample_decisions
+
+    mix = sample_decisions(
+        d.select("doc_id", "source"),
+        {"src0": 0.25, "src1": 2.5, "src2": 0.0},
+        key_col="source", default_rate=1.0, seed="mix",
+    ).select(
+        "doc_id",
+        F.col("rate").alias("mix_rate"),
+        F.floor(F.col("u") * 1000000).cast("long").alias("mix_u"),
+        F.col("n_copies").alias("mix_copies"),
+    )
     return (
         q.join(gopher_repetition(d), "doc_id")
         .join(train_split(d), "doc_id")
         .join(pii, "doc_id")
         .join(duplicate_span_profile(d, k=4), "doc_id")
+        .join(mix, "doc_id")
     )
 
 
@@ -1698,15 +1715,34 @@ def oracle_sql() -> dict[str, str]:
                            GROUP BY doc_id) dw USING (doc_id)
                 LEFT JOIN (SELECT doc_id, count(*) AS ns, sum(e - s) AS cov
                            FROM ds_spans GROUP BY doc_id) spn USING (doc_id)
+            ),
+            mix0 AS (
+                SELECT doc_id,
+                       CAST(CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 2.5
+                                        WHEN 'src2' THEN 0.0 ELSE 1.0
+                            END AS DOUBLE) AS mix_rate,
+                       CAST('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                            AS BIGINT) / 4294967296.0 AS u
+                FROM documents
+            ),
+            mix AS (
+                SELECT doc_id, mix_rate,
+                       CAST(floor(u * 1000000) AS BIGINT) AS mix_u,
+                       CAST(floor(mix_rate)
+                            + CASE WHEN u < mix_rate - floor(mix_rate)
+                                   THEN 1 ELSE 0 END AS BIGINT) AS mix_copies
+                FROM mix0
             )
             SELECT q.*, rep.top_2gram, rep.top_2gram_count, rep.top_2gram_frac,
                    rep.dup_3gram_frac,
                    CAST(sp.bucket AS BIGINT) AS bucket,
                    CASE WHEN sp.bucket < 10 THEN 'val' ELSE 'train' END AS split,
                    pii.n_emails, pii.n_ips, pii.n_phones, pii.pii_scrub_md5,
-                   ds.n_dup_windows, ds.n_dup_spans, ds.n_dup_tokens
+                   ds.n_dup_windows, ds.n_dup_spans, ds.n_dup_tokens,
+                   mix.mix_rate, mix.mix_u, mix.mix_copies
             FROM q JOIN rep USING (doc_id) JOIN sp USING (doc_id)
                    JOIN pii USING (doc_id) JOIN ds USING (doc_id)
+                   JOIN mix USING (doc_id)
         """,
         "q_langid": f"""
             WITH toks AS (

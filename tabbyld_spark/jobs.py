@@ -30,6 +30,9 @@ annotate      the flagship S1-S6 pages→triples run with per-stage snapshot
 webprep       the FineWeb/RefinedWeb-style corpus prep: URL blocklist →
               byte-identical extract → global line dedup → dedup/lang/quality
               gates → chunk + pack into fixed token budgets.
+mix           deterministic per-key mixture sampling (the "2 epochs of
+              wiki, 0.3 of CC" table): hash-Bernoulli keeps + upsample
+              copies, a pure function of the doc id.
 graph         the crawl link graph: pages → outlinks → host edges →
               connected components + PageRank at node grain.
 
@@ -256,6 +259,32 @@ def cmd_webprep(args: argparse.Namespace) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def cmd_mix(args: argparse.Namespace) -> dict:
+    from pyspark.sql import functions as F
+
+    from tabbyld_spark.operators.sampling import sample_corpus
+
+    spark = _session("tabbyld-mix")
+    docs = spark.read.parquet(args.docs)
+    rates = {k: float(v) for k, v in json.loads(args.rates).items()}
+    mixed = sample_corpus(
+        docs, rates, key_col=args.key_col, id_col=args.id_col,
+        default_rate=args.default_rate, seed=args.seed,
+    )
+    mixed.write.mode("overwrite").parquet(args.out)
+    out = spark.read.parquet(args.out)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct(args.id_col).alias("docs"),
+    ).collect()[0]
+    return {
+        "command": "mix",
+        "out": args.out,
+        "rows": agg["rows"],
+        "docs": agg["docs"],
+    }
+
+
 def cmd_graph(args: argparse.Namespace) -> dict:
     from pyspark.sql import functions as F
 
@@ -335,6 +364,19 @@ def build_parser() -> argparse.ArgumentParser:
         "fragments) to one canonical survivor per page before any content work",
     )
     wp.set_defaults(func=cmd_webprep)
+
+    mx = sub.add_parser("mix", help="deterministic per-key mixture sampling")
+    mx.add_argument("--docs", required=True, help="input parquet of documents")
+    mx.add_argument("--out", required=True)
+    mx.add_argument(
+        "--rates", required=True,
+        help='JSON object of per-key rates, e.g. \'{"wiki": 2.0, "cc": 0.3}\'',
+    )
+    mx.add_argument("--key-col", default="source")
+    mx.add_argument("--id-col", default="doc_id")
+    mx.add_argument("--default-rate", type=float, default=1.0)
+    mx.add_argument("--seed", default="mix")
+    mx.set_defaults(func=cmd_mix)
 
     gr = sub.add_parser("graph", help="pages → host graph CC + PageRank")
     gr.add_argument("--pages", required=True)

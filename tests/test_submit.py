@@ -139,6 +139,22 @@ def test_webprep_and_graph_jobs_in_process(spark, submit_tree, tmp_path):
     assert seqs.count() > 0
     assert {"doc_id", "chunk_text", "pack_id"} <= set(seqs.columns)
 
+    # mixture sampling over the webprep output (doc-grain ids = seq_key)
+    out_mix = str(tmp_path / "mixed")
+    assert jobs.main([
+        "mix", "--docs", out_seq, "--out", out_mix,
+        "--rates", '{"0": 2.0}', "--key-col", "bucket",
+        "--id-col", "seq_key", "--default-rate", "0.5",
+    ]) == 0
+    mixed = spark.read.parquet(out_mix)
+    assert "copy_id" in mixed.columns
+    # rate-2.0 bucket rows appear exactly twice; others at most once
+    from pyspark.sql import functions as F2
+
+    per = mixed.groupBy("seq_key", "bucket").count()
+    assert per.filter((F2.col("bucket") == 0) & (F2.col("count") != 2)).count() == 0
+    assert per.filter((F2.col("bucket") != 0) & (F2.col("count") > 1)).count() == 0
+
     # the annotate fixture is a single-host crawl (no host-grain edges);
     # the graph job gets the q_connected_components crawl shape instead
     from pyspark.sql import functions as F
