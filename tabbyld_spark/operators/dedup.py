@@ -166,49 +166,41 @@ def minhash_dedup_pairs(
 
 def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Portable 32-bit SimHash: per token, bit j comes from hex digit
-    j//4 of md5(token); the document bit is the sign of the per-bit vote sum.
-    Pure integer/string builtins → identical in Spark and the DuckDB oracle.
+    j//4 of md5(token) (bit j = the j-th MSB of the first ``bits//4`` hex
+    digits); the document bit is the sign of the per-bit vote sum.  Pure
+    integer/string builtins → identical in Spark and the DuckDB oracle.
 
-    One whole-stage-codegen pass per document — the per-token bit votes fold
-    into a ``bits``-length array accumulator inside ``aggregate``, so there
-    is NO token explode, NO (doc_id, bit) shuffle, and no shuffle at all
-    (the previous shape exploded tokens × 32 bits through a hash exchange —
-    ~32× the rows it needed)."""
+    Zero shuffle, and the per-token work is ONE md5 + ONE hex→int
+    conversion: each token's leading ``bits`` md5 bits become a single
+    integer (staged as its own projection so the 32 per-bit folds read an
+    attribute, not 32 re-inlined copies — the CollapseProject two-projection
+    trick), and vote counting is ``bits`` allocation-free integer folds
+    ``cnt_j = Σ (h >> (bits-1-j)) & 1`` with the sign test
+    ``2·cnt_j > n_tokens`` ⟺ Σ(±1) > 0.  The previous shape built TWO
+    32-element vote arrays per token (32 string substr+conv+pow each)
+    inside the fold — ~6× the CPU and an allocation per token — and the
+    shape before that exploded tokens × 32 bits through a hash exchange."""
+    n_hex = (bits + 3) // 4
+    h_int = F.transform(
+        tokens(text_col),
+        lambda t: F.conv(F.md5(t).substr(1, n_hex), 16, 10).cast("long"),
+    )
+    staged = docs.select(F.col(id_col).alias("doc_id"), h_int.alias("_h"))
 
-    def bitvec(h):
-        # per-token ±1 vote vector: digit = hex value of md5 nibble j//4,
-        # bit j = (digit >> (3 - j%4)) & 1, expressed via the same
-        # floor/power arithmetic as the DuckDB twin for bit-identical results
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda j: (
-                F.floor(
-                    F.conv(h.substr(F.floor(j / 4).cast("int") + 1, F.lit(1)), 16, 10).cast("long")
-                    / F.pow(F.lit(2.0), F.lit(3) - j % 4)
-                ).cast("long")
-                % 2
-            )
-            * 2
-            - 1,
+    def cnt(j):
+        return F.aggregate(
+            F.col("_h"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.shiftright(h, bits - 1 - j) % 2,
         )
 
-    votes = F.aggregate(
-        F.transform(tokens(text_col), lambda t: F.md5(t)),
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, h: F.zip_with(acc, bitvec(h), lambda a, v: a + v),
-    )
-    sim = F.aggregate(
-        F.zip_with(
-            votes,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda v, j: F.when(v > 0, F.pow(F.lit(2.0), j).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return docs.select(F.col(id_col).alias("doc_id"), sim.alias("simhash"))
+    sim = None
+    for j in range(bits):
+        term = F.when(cnt(j) * 2 > F.size("_h"), F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return staged.select("doc_id", sim.alias("simhash"))
 
 
 def embedding_dedup_pairs(
