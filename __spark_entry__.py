@@ -469,9 +469,16 @@ def q_simhash(spark, sf_dir):
 
 
 def q_langid(spark, sf_dir):
-    """Both language-ID surfaces in one doc-grain entry (registry slot
-    consolidation, ≤50 driver rows): stopword-hit langid (former q_langid)
-    joined with the char-trigram-profile langid (former q_langid_ngram)."""
+    """All three language/LM doc-grain surfaces in one entry (registry slot
+    consolidation, ≤50 driver rows): stopword-hit langid (former q_langid),
+    the char-trigram-profile langid (former q_langid_ngram), and the
+    CCNet-style unigram-LM negative log-likelihood (operators/lm.py) under
+    a model trained on the deterministic doc_id%10==0 slice — training
+    (count→smooth) AND scoring (probe+aggregate) both re-derived by the
+    DuckDB twin.  lm_nll is floored at 1e-6 grain because the two engines
+    sum the per-token logs in different orders."""
+    from tabbyld_spark.operators.lm import lm_score, train_unigram_lm
+
     d = _t(spark, sf_dir, "documents")
     sw = language_id(d).select(
         "doc_id", "pred_lang", F.col("stop_hits").cast("long").alias("stop_hits")
@@ -479,7 +486,14 @@ def q_langid(spark, sf_dir):
     tri = ngram_language_id(d).select(
         "doc_id", "pred_lang_ngram", F.col("tri_hits").cast("long").alias("tri_hits")
     )
-    return sw.join(tri, "doc_id")
+    lm, oov = train_unigram_lm(d.filter(F.col("doc_id") % 10 == 0), alpha=0.5)
+    lms = lm_score(d, lm, oov).select(
+        "doc_id",
+        F.floor(F.col("lm_nll") * 1000000).cast("long").alias("lm_nll6"),
+        "n_oov",
+        "n_scored",
+    )
+    return sw.join(tri, "doc_id").join(lms, "doc_id")
 
 
 def q_doc_profile(spark, sf_dir):
@@ -1779,10 +1793,37 @@ def oracle_sql() -> dict[str, str]:
             tri AS (
                 SELECT doc_id, lang AS pred_lang_ngram, CAST(hits AS BIGINT) AS tri_hits
                 FROM tranked WHERE rn = 1
+            ),
+            lmtok AS (
+                SELECT lower(tok) AS token
+                FROM (SELECT unnest({_TOKENS_SQL}) AS tok
+                      FROM documents WHERE doc_id % 10 = 0)
+            ),
+            lmcnt AS (SELECT token, count(*) AS c FROM lmtok GROUP BY token),
+            lmtot AS (SELECT sum(c) AS n, count(*) AS v FROM lmcnt),
+            lm AS (
+                SELECT token, ln((c + 0.5) / (n + 0.5 * (v + 1))) AS logp
+                FROM lmcnt CROSS JOIN lmtot
+            ),
+            oov AS (SELECT ln(0.5 / (n + 0.5 * (v + 1))) AS oov_logp FROM lmtot),
+            dtok AS (
+                SELECT doc_id, lower(tok) AS token
+                FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents)
+            ),
+            lms AS (
+                SELECT dtok.doc_id,
+                       CAST(floor(avg(-coalesce(lm.logp, oov.oov_logp)) * 1000000)
+                            AS BIGINT) AS lm_nll6,
+                       CAST(sum(CASE WHEN lm.logp IS NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_oov,
+                       CAST(count(*) AS BIGINT) AS n_scored
+                FROM dtok LEFT JOIN lm USING (token) CROSS JOIN oov
+                GROUP BY dtok.doc_id
             )
             SELECT sw.doc_id, sw.pred_lang, sw.stop_hits,
-                   tri.pred_lang_ngram, tri.tri_hits
-            FROM sw JOIN tri USING (doc_id)
+                   tri.pred_lang_ngram, tri.tri_hits,
+                   lms.lm_nll6, lms.n_oov, lms.n_scored
+            FROM sw JOIN tri USING (doc_id) JOIN lms USING (doc_id)
         """,
         "q_decontam": """
             WITH tok AS (

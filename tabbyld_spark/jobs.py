@@ -237,6 +237,7 @@ def cmd_webprep(args: argparse.Namespace) -> dict:
         n_buckets=args.n_buckets,
         exact_substr_k=args.exact_substr_k,
         canonicalize_urls=args.canonicalize_urls,
+        lm_nll_max=args.lm_nll_max,
     )
     seqs.write.mode("overwrite").parquet(args.out)
     out = spark.read.parquet(args.out)
@@ -357,6 +358,11 @@ def build_parser() -> argparse.ArgumentParser:
     wp.add_argument(
         "--exact-substr-k", type=int, default=None,
         help="enable the ExactSubstr duplicate-span scrub at this window size",
+    )
+    wp.add_argument(
+        "--lm-nll-max", type=float, default=None,
+        help="W3c: drop docs whose mean token NLL under the corpus-trained "
+        "unigram LM exceeds this gate (CCNet-style perplexity filter)",
     )
     wp.add_argument(
         "--canonicalize-urls", action="store_true",

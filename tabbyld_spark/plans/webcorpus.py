@@ -14,6 +14,14 @@ composed from the individually-tested operators:
                          FineWeb-class pipelines run line OR span dedup
                          depending on corpus; both winners key on (url, pos)
                          so determinism is preserved)
+    W3c LM gate          optional CCNet-style perplexity filter
+                         (``lm_nll_max=``): a unigram LM self-trained on the
+                         post-dedup corpus scores every doc's mean token
+                         NLL; outlier docs (gibberish, SEO spam, langid
+                         escapes) are dropped before the expensive near-dup
+                         stage.  Training is deterministic (pure aggregate
+                         of the surviving docs), so the gate keeps the
+                         plan's retry/reshard determinism
     W4 corpus prep       exact dedup → SimHash near-dup → language → quality
     W5 chunk + pack      overlapping token windows → contiguous-fill packs
 
@@ -50,6 +58,7 @@ def prep_web_corpus(
     n_buckets: int = 1024,
     exact_substr_k: int | None = None,
     canonicalize_urls: bool = False,
+    lm_nll_max: float | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang, …) → (seq_key, doc_id=url,
     chunk_id, chunk_text, n_chunk_tokens, bucket, cum_tokens, pack_id)."""
@@ -73,6 +82,20 @@ def prep_web_corpus(
         deduped = remove_duplicate_spans(deduped, k=exact_substr_k).select(
             "doc_id", "text"
         )
+    if lm_nll_max is not None:
+        from tabbyld_spark.operators.lm import lm_score, train_unigram_lm
+
+        # W3c: self-trained reference model (CCNet trains on a trusted
+        # corpus; the deterministic in-sandbox analogue is the post-dedup
+        # corpus itself) — docs whose mean token NLL exceeds the gate are
+        # distributionally far from the corpus and dropped
+        lm, oov = train_unigram_lm(deduped)
+        keep = (
+            lm_score(deduped, lm, oov)
+            .filter(F.col("lm_nll") <= lm_nll_max)
+            .select("doc_id")
+        )
+        deduped = deduped.join(keep, "doc_id", "left_semi")
     return prep_training_sequences(
         deduped,
         lang=lang,

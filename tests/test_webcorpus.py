@@ -86,3 +86,46 @@ def test_exact_substr_stage_scrubs_cross_page_duplicates(spark, pages):
     a = scrubbed.select("seq_key", "bucket", "pack_id")
     b = again.select("seq_key", "bucket", "pack_id")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_lm_gate_drops_gibberish_page(spark, pages):
+    """W3c: a planted page of tokens no other page contains scores far from
+    the corpus-trained LM and is gated out; the clean pages all survive a
+    loose gate, and a tight gate only ever shrinks the corpus."""
+    from tabbyld_spark.operators.lm import lm_score, train_unigram_lm
+    from tabbyld_spark.extract.html import extract_pages
+    from tabbyld_spark.operators.dedup import line_dedup
+
+    gib_words = " ".join(f"zxqv{i}glorp" for i in range(40))
+    gibberish = pages.limit(1).select(
+        F.lit("https://fixture.example.org/page/gibberish").alias("url"),
+        "warc_ts",
+        F.concat(
+            F.lit("<html><body><p>"), F.lit(gib_words), F.lit("</p></body></html>")
+        ).cast("binary").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    polluted = pages.unionByName(gibberish.select(*pages.columns))
+
+    # pick the gate from the score distribution: max clean-doc NLL + margin
+    docs = line_dedup(
+        extract_pages(polluted).select(
+            F.col("url").alias("doc_id"), F.col("extracted_text").alias("text")
+        )
+    ).select("doc_id", "text")
+    lm, oov = train_unigram_lm(docs)
+    scores = {r["doc_id"]: r["lm_nll"] for r in lm_score(docs, lm, oov).collect()}
+    gib_url = "https://fixture.example.org/page/gibberish"
+    clean_max = max(v for k, v in scores.items() if k != gib_url)
+    assert scores[gib_url] > clean_max  # the outlier is separable
+
+    kw = dict(lang="en", max_tokens=32, overlap=8, seq_len=256, n_buckets=8)
+    gated = prep_web_corpus(polluted, lm_nll_max=(clean_max + scores[gib_url]) / 2, **kw)
+    assert gated.filter(F.col("doc_id") == gib_url).count() == 0
+    # loose gate keeps everything the ungated plan keeps
+    loose = prep_web_corpus(polluted, lm_nll_max=1e9, **kw)
+    base = prep_web_corpus(polluted, **kw)
+    a = base.select("seq_key", "bucket", "pack_id")
+    b = loose.select("seq_key", "bucket", "pack_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
