@@ -793,13 +793,16 @@ def q_connected_components(spark, sf_dir):
     edges → hash-min connected components (undirected) + 5-iteration
     damped PageRank.  Pages whose doc_id % 10 == 0 also link to sink hosts
     no page lives on — dangling nodes, exercising PageRank's dangling-mass
-    redistribution.  The DuckDB twin re-synthesizes the identical HTML
+    redistribution.  Each node row also carries its directed in/out degree
+    (operators/kgstats.py:degree_stats — the hub/skew profile a KG build
+    publishes).  The DuckDB twin re-synthesizes the identical HTML
     string, re-extracts hrefs with its own regexp_extract_all, and pairs a
     recursive reachability CTE with the power method unrolled as 5 chained
     CTEs — two independent formulations of extraction AND both algorithms."""
     from tabbyld_spark.extract.links import extract_outlinks, host_edges
     from tabbyld_spark.operators.components import connected_components
     from tabbyld_spark.operators.graphrank import pagerank
+    from tabbyld_spark.operators.kgstats import degree_stats
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     h = (F.col("doc_id") % 23).cast("string")
@@ -831,8 +834,10 @@ def q_connected_components(spark, sf_dir):
     edges = host_edges(extract_outlinks(pages))
     cc = connected_components(edges).select("node", "component")
     pr = pagerank(edges, damping=0.85, iterations=5, round_to=6)
-    return cc.join(pr, "node").select(
-        "node", "component", F.col("rank").alias("pagerank")
+    deg = degree_stats(edges)
+    return cc.join(pr, "node").join(deg, "node").select(
+        "node", "component", F.col("rank").alias("pagerank"),
+        "out_deg", "in_deg",
     )
 
 
@@ -980,11 +985,18 @@ def q_sti_triples(spark, sf_dir):
     exact path emits triples for must also receive triples with fuzzy
     candidates on (cells keep >= 1 candidate when candidates are added; the
     specific object may legitimately change with the P16 vote pool), so
-    ``covered`` is computed live against the fuzzy run."""
+    ``covered`` is computed live against the fuzzy run.  Each triple also
+    carries its predicate's corpus frequency and its subject's out-degree
+    (operators/kgstats.py:annotate_triple_stats — the confidence/pruning
+    signals a KG build publishes with its triples)."""
+    from tabbyld_spark.operators.kgstats import annotate_triple_stats
+
     exact, fuzzy = _sti_both_paths(spark)
     fz = fuzzy.triples.select("subj").distinct().withColumn("_f", F.lit(True))
-    return exact.triples.join(fz, "subj", "left").select(
-        "subj", "pred", "obj", F.coalesce("_f", F.lit(False)).alias("covered")
+    tr = annotate_triple_stats(exact.triples)
+    return tr.join(fz, "subj", "left").select(
+        "subj", "pred", "obj", F.coalesce("_f", F.lit(False)).alias("covered"),
+        "n_pred", "n_subj_triples",
     )
 
 
@@ -1177,9 +1189,19 @@ _CC_PAGERANK_SQL = (
             cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
             """
     + _pagerank_ctes(5)
-    + """
-            SELECT cc.node, cc.component, round(pr5.pr, 6) AS pagerank
+    + """,
+            outd AS (SELECT src AS node, count(*) AS c FROM base GROUP BY src),
+            ind AS (SELECT dst AS node, count(*) AS c FROM base GROUP BY dst),
+            deg AS (
+                SELECT coalesce(outd.node, ind.node) AS node,
+                       CAST(coalesce(outd.c, 0) AS BIGINT) AS out_deg,
+                       CAST(coalesce(ind.c, 0) AS BIGINT) AS in_deg
+                FROM outd FULL OUTER JOIN ind ON outd.node = ind.node
+            )
+            SELECT cc.node, cc.component, round(pr5.pr, 6) AS pagerank,
+                   deg.out_deg, deg.in_deg
             FROM cc JOIN pr5 ON cc.node = pr5.node
+                    JOIN deg ON cc.node = deg.node
         """
 )
 

@@ -57,6 +57,7 @@ def main() -> None:
         "q_gopher_repetition",
         "q_decontam",
         "q_span_dedup",
+        "q_lm_score",
         "q_fingerprint",
         "q_winnow",
         "q_winnow_pairs",
@@ -130,6 +131,18 @@ def main() -> None:
 
         return gopher_repetition(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
+    def _lm_workload(spark, sf_dir):
+        # unigram-LM train (doc_id%10 slice) + full-corpus scoring — the
+        # CCNet-style perplexity signal, standalone (registry entry folded
+        # into the consolidated q_langid surface)
+        from pyspark.sql import functions as F
+
+        from tabbyld_spark.operators.lm import lm_score, train_unigram_lm
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        lm, oov = train_unigram_lm(d.filter(F.col("doc_id") % 10 == 0))
+        return lm_score(d, lm, oov)
+
     def _span_dedup_workload(spark, sf_dir):
         # ExactSubstr doc-grain rollup over the full corpus (registry entry
         # folded into q_doc_profile; the bench times the operator standalone)
@@ -149,6 +162,7 @@ def main() -> None:
     workloads["q_langid_ngram"] = _langid_ngram_workload
     workloads["q_gopher_repetition"] = _gopher_workload
     workloads["q_span_dedup"] = _span_dedup_workload
+    workloads["q_lm_score"] = _lm_workload
     times: dict[str, float] = {}
     for name in qnames:
         fn = workloads[name]

@@ -531,8 +531,20 @@ def sti_oracle_queries(fx: str) -> dict[str, str]:
             {sql_mentions(canon)},
             {sql_candidates('kg_labels')},
             {_cea_ctes(canon)},
-            {_triples_ctes(canon)}
-            SELECT subj, pred, obj, true AS covered FROM triples
+            {_triples_ctes(canon)},
+            predstat AS (
+                SELECT pred, CAST(count(*) AS BIGINT) AS n_pred
+                FROM triples GROUP BY pred
+            ),
+            subjstat AS (
+                SELECT subj, CAST(count(*) AS BIGINT) AS n_subj_triples
+                FROM triples GROUP BY subj
+            )
+            SELECT t.subj, t.pred, t.obj, true AS covered,
+                   predstat.n_pred, subjstat.n_subj_triples
+            FROM triples t
+            JOIN predstat USING (pred)
+            JOIN subjstat USING (subj)
         """,
         "q_owl": f"""
             WITH {_fx_tables(fx, 'kg_labels', 'kg_types', 'kg_subclass', 'kg_triples')},
