@@ -795,7 +795,11 @@ def q_connected_components(spark, sf_dir):
     no page lives on — dangling nodes, exercising PageRank's dangling-mass
     redistribution.  Each node row also carries its directed in/out degree
     (operators/kgstats.py:degree_stats — the hub/skew profile a KG build
-    publishes).  The DuckDB twin re-synthesizes the identical HTML
+    publishes) and its most frequent inbound anchor text with count
+    (extract/links.py:extract_anchors + top_anchor_per_host — the web's
+    surface form for the host, the classic candidate-dictionary signal;
+    lexicographic tiebreak so both engines agree).  The DuckDB twin
+    re-synthesizes the identical HTML
     string, re-extracts hrefs with its own regexp_extract_all, and pairs a
     recursive reachability CTE with the power method unrolled as 5 chained
     CTEs — two independent formulations of extraction AND both algorithms."""
@@ -831,13 +835,21 @@ def q_connected_components(spark, sf_dir):
         ).alias("url"),
         html.cast("binary").alias("html"),
     )
+    from tabbyld_spark.extract.links import extract_anchors, top_anchor_per_host
+
     edges = host_edges(extract_outlinks(pages))
     cc = connected_components(edges).select("node", "component")
     pr = pagerank(edges, damping=0.85, iterations=5, round_to=6)
     deg = degree_stats(edges)
-    return cc.join(pr, "node").join(deg, "node").select(
-        "node", "component", F.col("rank").alias("pagerank"),
-        "out_deg", "in_deg",
+    anch = top_anchor_per_host(extract_anchors(pages))
+    return (
+        cc.join(pr, "node").join(deg, "node").join(anch, "node", "left")
+        .select(
+            "node", "component", F.col("rank").alias("pagerank"),
+            "out_deg", "in_deg",
+            F.coalesce("top_anchor", F.lit("")).alias("top_anchor"),
+            F.coalesce("n_anchor", F.lit(0)).cast("long").alias("n_anchor"),
+        )
     )
 
 
@@ -1197,11 +1209,45 @@ _CC_PAGERANK_SQL = (
                        CAST(coalesce(outd.c, 0) AS BIGINT) AS out_deg,
                        CAST(coalesce(ind.c, 0) AS BIGINT) AS in_deg
                 FROM outd FULL OUTER JOIN ind ON outd.node = ind.node
+            ),
+            atags AS (
+                SELECT url, unnest(list_concat(
+                    regexp_extract_all(html,
+                        '<[aA]\\s[^>]*href\\s*=\\s*"[^"]*"[^>]*>[^<]*'),
+                    regexp_extract_all(html,
+                        '<[aA]\\s[^>]*href\\s*=\\s*''[^'']*''[^>]*>[^<]*')
+                )) AS tag FROM crawl
+            ),
+            apairs AS (
+                SELECT coalesce(nullif(regexp_extract(tag,
+                           '<[aA]\\s[^>]*href\\s*=\\s*"([^"]*)"', 1), ''),
+                       regexp_extract(tag,
+                           '<[aA]\\s[^>]*href\\s*=\\s*''([^'']*)''', 1)) AS dst_url,
+                       trim(regexp_extract(tag, '>([^<]*)$', 1)) AS anchor
+                FROM atags
+            ),
+            acnt AS (
+                SELECT lower(regexp_extract(dst_url, '^https?://([^/]+)', 1)) AS node,
+                       anchor, count(*) AS n
+                FROM apairs
+                WHERE (dst_url LIKE 'http://%' OR dst_url LIKE 'https://%')
+                  AND coalesce(anchor, '') <> ''
+                  AND coalesce(regexp_extract(dst_url, '^https?://([^/]+)', 1), '') <> ''
+                GROUP BY 1, 2
+            ),
+            atop AS (
+                SELECT node, anchor AS top_anchor, CAST(n AS BIGINT) AS n_anchor,
+                       row_number() OVER (PARTITION BY node
+                           ORDER BY n DESC, anchor ASC) AS rn
+                FROM acnt
             )
             SELECT cc.node, cc.component, round(pr5.pr, 6) AS pagerank,
-                   deg.out_deg, deg.in_deg
+                   deg.out_deg, deg.in_deg,
+                   coalesce(atop.top_anchor, '') AS top_anchor,
+                   CAST(coalesce(atop.n_anchor, 0) AS BIGINT) AS n_anchor
             FROM cc JOIN pr5 ON cc.node = pr5.node
                     JOIN deg ON cc.node = deg.node
+                    LEFT JOIN atop ON cc.node = atop.node AND atop.rn = 1
         """
 )
 

@@ -71,3 +71,79 @@ def host_edges(outlinks: DataFrame) -> DataFrame:
         .filter((F.col("src") != "") & (F.col("dst") != "") & (F.col("src") != F.col("dst")))
         .distinct()
     )
+
+
+# full <a ...> tag with its leading anchor-text run, double-/single-quoted
+# href; anchor text is read up to the first '<' (nested markup truncates —
+# the surface-form consumer wants the leading text, not the subtree)
+_A_DQ = r'<[aA]\s[^>]*href\s*=\s*"[^"]*"[^>]*>[^<]*'
+_A_SQ = r"<[aA]\s[^>]*href\s*=\s*'[^']*'[^>]*>[^<]*"
+
+
+def extract_anchors(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """pages(url, html:binary, …) → (src_url, dst_url, anchor), one row per
+    <a> occurrence with non-empty anchor text and an absolute http(s)
+    target.  The anchor text of inbound links is the classic web-KG
+    surface-form signal (how the web *names* the link target — feeds the
+    candidate-generation dictionary the same way KG labels do).
+
+    Occurrence grain is kept (not per-page distinct): anchor-text mining is
+    a frequency signal, and the downstream aggregate decides the grain.
+    Same codegen-only shape as `extract_outlinks` — lenient binary→string
+    cast, `regexp_extract_all` over the raw tag, per-element href/text
+    split inside one `transform` (lambda references only its own element,
+    never a captured computed array — the HOF re-evaluation trap)."""
+    html_s = F.col(html_col).cast("string")
+    tags = F.concat(
+        F.regexp_extract_all(html_s, F.lit(_A_DQ), 0),
+        F.regexp_extract_all(html_s, F.lit(_A_SQ), 0),
+    )
+    pairs = F.transform(
+        tags,
+        lambda m: F.struct(
+            F.coalesce(
+                F.nullif(F.regexp_extract(m, _HREF_DQ, 1), F.lit("")),
+                F.regexp_extract(m, _HREF_SQ, 1),
+            ).alias("dst_url"),
+            F.trim(F.regexp_extract(m, r">([^<]*)$", 1)).alias("anchor"),
+        ),
+    )
+    return (
+        pages.select(F.col(url_col).alias("src_url"), F.explode(pairs).alias("p"))
+        .select("src_url", F.col("p.dst_url").alias("dst_url"), F.col("p.anchor").alias("anchor"))
+        .filter(
+            (
+                F.col("dst_url").startswith("http://")
+                | F.col("dst_url").startswith("https://")
+            )
+            & (F.col("anchor") != "")
+        )
+    )
+
+
+def top_anchor_per_host(anchors: DataFrame) -> DataFrame:
+    """(src_url, dst_url, anchor) → (node, top_anchor, n_anchor): the most
+    frequent anchor text pointing at each target host (ties break
+    lexicographically — deterministic across engines and re-shards).  Two
+    host-grain exchanges: one (host, anchor) count with map-side combine,
+    one host-grain argmax window — cardinality is distinct surface forms,
+    never link occurrences."""
+    from pyspark.sql import Window
+
+    counts = (
+        anchors.select(url_host(F.col("dst_url")).alias("node"), "anchor")
+        .filter(F.col("node") != "")
+        .groupBy("node", "anchor")
+        .agg(F.count(F.lit(1)).alias("n_anchor"))
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("n_anchor").desc(), F.col("anchor").asc()
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("node", F.col("anchor").alias("top_anchor"),
+                F.col("n_anchor").cast("long").alias("n_anchor"))
+    )

@@ -84,3 +84,63 @@ def test_pagerank_over_host_graph(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
     top = max(ranks, key=ranks.get)
     assert top == "hub.example.com"
+
+
+def test_extract_anchors_pairs_and_filters(spark):
+    html = (
+        '<p><a href="https://a.example.com/x">Apple Inc</a>'
+        "<a href='http://b.example.com/y'>  Banana  </a>"
+        '<a href="#frag">skip-frag</a>'
+        '<a href="/rel">skip-rel</a>'
+        '<a href="https://c.example.com/z"></a>'          # empty anchor
+        '<a href="https://a.example.com/q">Apple <b>bold</b></a></p>'
+    )
+    from tabbyld_spark.extract.links import extract_anchors
+
+    got = {
+        (r["dst_url"], r["anchor"])
+        for r in extract_anchors(_pages(spark, [("https://me/p1", html)])).collect()
+    }
+    assert got == {
+        ("https://a.example.com/x", "Apple Inc"),
+        ("http://b.example.com/y", "Banana"),          # trimmed
+        ("https://a.example.com/q", "Apple"),          # truncated at nested tag
+    }
+
+
+def test_extract_anchors_survives_garbage_bytes(spark):
+    from tabbyld_spark.extract.links import extract_anchors
+
+    html = (
+        bytes([0xFF, 0xFE, 0x80])
+        + b'<a href="https://ok.example.com/">Fine</a>'
+        + bytes([0xC3])
+    )
+    got = extract_anchors(_pages(spark, [("https://me/p1", html)])).collect()
+    assert [(r["dst_url"], r["anchor"]) for r in got] == [
+        ("https://ok.example.com/", "Fine")
+    ]
+
+
+def test_top_anchor_per_host_argmax_and_ties(spark):
+    from tabbyld_spark.extract.links import extract_anchors, top_anchor_per_host
+
+    html = (
+        '<a href="https://t.example.com/1">beta</a>'
+        '<a href="https://t.example.com/2">alpha</a>'
+        '<a href="https://t.example.com/3">beta</a>'
+        '<a href="https://u.example.com/1">tie-b</a>'
+        '<a href="https://u.example.com/2">tie-a</a>'
+    )
+    a = extract_anchors(_pages(spark, [("https://me/p1", html)]))
+    got = {r["node"]: (r["top_anchor"], r["n_anchor"]) for r in top_anchor_per_host(a).collect()}
+    assert got["t.example.com"] == ("beta", 2)
+    # 1-1 tie breaks lexicographically
+    assert got["u.example.com"] == ("tie-a", 1)
+
+    # determinism under re-sharding
+    b = top_anchor_per_host(a.repartition(7))
+    assert {tuple(r) for r in b.collect()} == {
+        ("t.example.com", "beta", 2),
+        ("u.example.com", "tie-a", 1),
+    }
