@@ -147,3 +147,55 @@ def top_anchor_per_host(anchors: DataFrame) -> DataFrame:
         .select("node", F.col("anchor").alias("top_anchor"),
                 F.col("n_anchor").cast("long").alias("n_anchor"))
     )
+
+
+def anchor_surface_forms(
+    anchors: DataFrame,
+    min_count: int = 1,
+    max_hosts: int | None = None,
+) -> DataFrame:
+    """(src_url, dst_url, anchor) → (surface_form, entity, n_links): the
+    anchor-text candidate dictionary (TagMe/WAT-style): each normalized
+    anchor names the host it points at, weighted by link occurrences.  The
+    output is shaped exactly like ``kg_labels(surface_form, entity)``, so it
+    plugs straight into ``operators.candidates.exact_candidates`` — the
+    crawl bootstraps its own surface-form dictionary.
+
+    Guards, both standard for anchor mining:
+
+    * ``min_count`` — drop (anchor, host) pairs seen fewer times (typo and
+      one-off noise).
+    * ``max_hosts`` — drop anchors pointing at more than this many distinct
+      hosts ("click here", "read more"): the same document-frequency cap the
+      dedup inverted indexes use, and for the same reason — a generic key
+      explodes the downstream join.
+
+    Normalization is ``normalize_entry`` — the SAME function mentions go
+    through, so dictionary keys and probe keys live in one space.  Scale
+    shape: one (surface_form, entity) count with map-side combine; the
+    max_hosts guard adds one surface_form-grain aggregate + semi join —
+    cardinality is distinct surface forms, never link occurrences."""
+    from tabbyld_spark.functions.normalize import normalize_entry
+
+    counts = (
+        anchors.select(
+            normalize_entry(F.col("anchor")).alias("surface_form"),
+            url_host(F.col("dst_url")).alias("entity"),
+        )
+        .filter((F.col("surface_form") != "") & (F.col("entity") != ""))
+        .groupBy("surface_form", "entity")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+    if min_count > 1:
+        counts = counts.filter(F.col("n_links") >= min_count)
+    if max_hosts is not None:
+        specific = (
+            counts.groupBy("surface_form")
+            .agg(F.countDistinct("entity").alias("_nh"))
+            .filter(F.col("_nh") <= max_hosts)
+            .select("surface_form")
+        )
+        counts = counts.join(specific, "surface_form", "left_semi")
+    return counts.select(
+        "surface_form", "entity", F.col("n_links").cast("long").alias("n_links")
+    )

@@ -289,16 +289,28 @@ def cmd_mix(args: argparse.Namespace) -> dict:
 def cmd_graph(args: argparse.Namespace) -> dict:
     from pyspark.sql import functions as F
 
-    from tabbyld_spark.extract.links import extract_outlinks, host_edges
+    from tabbyld_spark.extract.links import (
+        extract_anchors,
+        extract_outlinks,
+        host_edges,
+        top_anchor_per_host,
+    )
     from tabbyld_spark.operators.components import connected_components
     from tabbyld_spark.operators.graphrank import pagerank
+    from tabbyld_spark.operators.kgstats import degree_stats
 
     spark = _session("tabbyld-graph")
     pages = spark.read.parquet(args.pages)
     edges = host_edges(extract_outlinks(pages))
     cc = connected_components(edges, salt=args.salt)
     pr = pagerank(edges, iterations=args.iterations, round_to=6)
-    nodes = cc.join(pr, "node", "inner")
+    # the published node table carries the full curation profile: component,
+    # rank, directed degrees, and the host's top inbound anchor text
+    nodes = (
+        cc.join(pr, "node", "inner")
+        .join(degree_stats(edges), "node", "left")
+        .join(top_anchor_per_host(extract_anchors(pages)), "node", "left")
+    )
     nodes.write.mode("overwrite").parquet(args.out)
     out = spark.read.parquet(args.out)
     agg = out.agg(

@@ -144,3 +144,48 @@ def test_top_anchor_per_host_argmax_and_ties(spark):
         ("t.example.com", "beta", 2),
         ("u.example.com", "tie-a", 1),
     }
+
+
+def test_anchor_surface_forms_dictionary_and_guards(spark):
+    from tabbyld_spark.extract.links import anchor_surface_forms, extract_anchors
+
+    html = (
+        '<a href="https://apple.example.com/1">Apple Inc.</a>'
+        '<a href="https://apple.example.com/2">Apple Inc.</a>'
+        '<a href="https://apple.example.com/3">AAPL</a>'
+        # generic anchor → 4 distinct hosts
+        '<a href="https://a.com/">click here</a>'
+        '<a href="https://b.com/">click here</a>'
+        '<a href="https://c.com/">click here</a>'
+        '<a href="https://d.com/">click here</a>'
+    )
+    a = extract_anchors(_pages(spark, [("https://me/p1", html)]))
+    d = anchor_surface_forms(a, min_count=2, max_hosts=3)
+    got = {(r["surface_form"], r["entity"], r["n_links"]) for r in d.collect()}
+    # min_count=2 drops AAPL (seen once); max_hosts=3 drops the generic anchor
+    from tabbyld_spark.functions.normalize import normalize_entry_py
+
+    apple = normalize_entry_py("Apple Inc.")
+    assert got == {(apple, "apple.example.com", 2)}
+
+
+def test_anchor_dictionary_feeds_exact_candidates(spark):
+    """The crawl-derived dictionary is drop-in for kg_labels: a mention whose
+    normalized form equals a mined anchor links to the anchor's host."""
+    from tabbyld_spark.extract.links import anchor_surface_forms, extract_anchors
+    from tabbyld_spark.operators.candidates import exact_candidates
+    from tabbyld_spark.functions.normalize import normalize_entry
+    import pyspark.sql.functions as F
+
+    html = (
+        '<a href="https://apple.example.com/1">Apple Inc.</a>'
+        '<a href="https://apple.example.com/2">Apple Inc.</a>'
+    )
+    d = anchor_surface_forms(
+        extract_anchors(_pages(spark, [("https://me/p1", html)]))
+    )
+    mentions = spark.createDataFrame(
+        [("t1", "DATA", "Apple Inc.")], "table_id string, col_role string, mention string"
+    ).withColumn("mention_norm", normalize_entry(F.col("mention")))
+    got = exact_candidates(mentions, d).collect()
+    assert len(got) == 1 and got[0]["entity"] == "apple.example.com"

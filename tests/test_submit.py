@@ -175,5 +175,10 @@ def test_webprep_and_graph_jobs_in_process(spark, submit_tree, tmp_path):
     assert jobs.main(["graph", "--pages", crawl, "--out", out_graph,
                       "--iterations", "3"]) == 0
     g = spark.read.parquet(out_graph)
-    assert {"node", "component", "rank"} <= set(g.columns)
+    assert {
+        "node", "component", "rank", "out_deg", "in_deg", "top_anchor", "n_anchor"
+    } <= set(g.columns)
     assert g.count() > 0
+    # every host both links out and is linked to in this fixture; anchor 'x'
+    assert g.filter((F.col("out_deg") < 1) | (F.col("in_deg") < 1)).count() == 0
+    assert g.filter(F.col("top_anchor") != "x").count() == 0
