@@ -836,8 +836,12 @@ def q_connected_components(spark, sf_dir):
         html.cast("binary").alias("html"),
     )
     from tabbyld_spark.extract.links import extract_anchors, top_anchor_per_host
+    from tabbyld_spark.functions.lineage import cut
 
-    edges = host_edges(extract_outlinks(pages))
+    # four consumers (CC, PageRank iterations, degrees, and the node join)
+    # read the edge set — one lineage cut stops each from re-running the
+    # regexp extraction chain
+    edges = cut(host_edges(extract_outlinks(pages)))
     cc = connected_components(edges).select("node", "component")
     pr = pagerank(edges, damping=0.85, iterations=5, round_to=6)
     deg = degree_stats(edges)
