@@ -666,7 +666,7 @@ def q_webprep(spark, sf_dir):
     against fixtures (test_extract.py)."""
     from tabbyld_spark.operators.chunking import chunk_documents, pack_sequences
     from tabbyld_spark.operators.dedup import line_dedup
-    from tabbyld_spark.operators.urls import url_dedup
+    from tabbyld_spark.operators.urls import latest_capture, url_dedup
     from tabbyld_spark.operators.webfilter import url_filter
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
@@ -688,10 +688,29 @@ def q_webprep(spark, sf_dir):
     )
     norm = F.regexp_replace(F.trim("text"), r"\s+", " ")
     body = F.regexp_replace(norm, r"((?:\S+ ){7}\S+) ", "$1\n")
-    pages = d.select(messy_url.alias("url"), body.alias("text")).unionByName(
-        d.filter(F.col("doc_id") % 4 == 0).select(
-            clean_url.alias("url"), body.alias("text")
+    fresh_ts = F.lit("2024-01-02 00:00:00").cast("timestamp")
+    stale_ts = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    pages = (
+        d.select(messy_url.alias("url"), body.alias("text"),
+                 fresh_ts.alias("warc_ts"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 4 == 0).select(
+                clean_url.alias("url"), body.alias("text"),
+                fresh_ts.alias("warc_ts"),
+            )
         )
+        # every 3rd doc also has a STALE capture of the messy spelling with
+        # entirely different line content (uppercased body): W0a must drop
+        # it wholesale or every downstream line hash shifts
+        .unionByName(
+            d.filter(F.col("doc_id") % 3 == 0).select(
+                messy_url.alias("url"), F.upper(body).alias("text"),
+                stale_ts.alias("warc_ts"),
+            )
+        )
+    )
+    pages = latest_capture(pages, tiebreak_col="text").drop(
+        "n_captures", "warc_ts"
     )
     pages = url_dedup(pages).drop("source_url", "n_aliases")
     bl = spark.createDataFrame(
@@ -2081,21 +2100,40 @@ def oracle_sql() -> dict[str, str]:
                            '((?:\\S+ ){7}\\S+) ', '\\1' || chr(10), 'g') AS body
                 FROM documents
             ),
-            raw_pages AS (
+            pages_all AS (
                 SELECT upper('https://d' || CAST(doc_id % 37 AS VARCHAR) || '.'
                            || source || '.example.com')
                            || ':443/p/' || CAST(doc_id AS VARCHAR)
                            || '?utm_source=crawl&fbclid=f'
                            || CAST(doc_id AS VARCHAR)
                            || '#s' || CAST(doc_id % 5 AS VARCHAR) AS url,
-                       body
+                       body,
+                       TIMESTAMP '2024-01-02 00:00:00' AS warc_ts
                 FROM docs0
                 UNION ALL
                 SELECT 'https://d' || CAST(doc_id % 37 AS VARCHAR) || '.'
                            || source || '.example.com/p/'
                            || CAST(doc_id AS VARCHAR) AS url,
-                       body
+                       body,
+                       TIMESTAMP '2024-01-02 00:00:00' AS warc_ts
                 FROM docs0 WHERE doc_id % 4 = 0
+                UNION ALL
+                -- stale capture of the messy spelling, different content
+                SELECT upper('https://d' || CAST(doc_id % 37 AS VARCHAR) || '.'
+                           || source || '.example.com')
+                           || ':443/p/' || CAST(doc_id AS VARCHAR)
+                           || '?utm_source=crawl&fbclid=f'
+                           || CAST(doc_id AS VARCHAR)
+                           || '#s' || CAST(doc_id % 5 AS VARCHAR) AS url,
+                       upper(body) AS body,
+                       TIMESTAMP '2024-01-01 00:00:00' AS warc_ts
+                FROM docs0 WHERE doc_id % 3 = 0
+            ),
+            -- W0a twin: newest capture per raw URL (timestamps are distinct
+            -- per url in this synthesis, so max_by is unambiguous)
+            raw_pages AS (
+                SELECT url, max_by(body, warc_ts) AS body
+                FROM pages_all GROUP BY url
             ),
             -- W0 twin: independent canonicalization (regex piece extraction
             -- + list_filter/list_sort), then one survivor per canonical url

@@ -238,6 +238,7 @@ def cmd_webprep(args: argparse.Namespace) -> dict:
         exact_substr_k=args.exact_substr_k,
         canonicalize_urls=args.canonicalize_urls,
         lm_nll_max=args.lm_nll_max,
+        latest_only=args.latest_only,
     )
     seqs.write.mode("overwrite").parquet(args.out)
     out = spark.read.parquet(args.out)
@@ -370,6 +371,11 @@ def build_parser() -> argparse.ArgumentParser:
     wp.add_argument(
         "--exact-substr-k", type=int, default=None,
         help="enable the ExactSubstr duplicate-span scrub at this window size",
+    )
+    wp.add_argument(
+        "--latest-only", action="store_true",
+        help="W0a: collapse multiple captures of a URL to the newest "
+        "(max warc_ts, deterministic md5 tiebreak) before any content work",
     )
     wp.add_argument(
         "--lm-nll-max", type=float, default=None,

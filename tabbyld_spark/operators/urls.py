@@ -192,3 +192,39 @@ def url_dedup(
         F.lit(1).cast("long").alias("n_aliases"),
     )
     return dedup.unionByName(junk)
+
+
+def latest_capture(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    tiebreak_col: str = "html",
+) -> DataFrame:
+    """One row per URL: the NEWEST capture wins (max ``ts_col``), with
+    ``n_captures`` counting how many snapshots collapsed.  Common-Crawl-style
+    inputs carry many captures of the same page across crawls (the input
+    schema has ``warc_ts`` for exactly this reason); re-processing stale
+    snapshots double-counts their lines through every downstream dedup and
+    hash, so a crawl pipeline collapses to the latest capture first.
+
+    Equal-timestamp ties break on ``md5(tiebreak_col)`` (largest wins) — a
+    pure function of row content, so the winner is deterministic under any
+    partitioning, re-sharding, or retry, the same contract as ``url_dedup``.
+
+    Scale shape: one exchange keyed on the URL; ``max_by`` partial-aggregates
+    map-side, so N captures of a page cost one payload per map partition
+    through the shuffle, never N."""
+    rest = [f.name for f in pages.schema.fields if f.name != url_col]
+    payload = F.struct(*[F.col(c) for c in rest])
+    order = F.struct(
+        F.col(ts_col), F.md5(F.col(tiebreak_col).cast("binary")).alias("_tb")
+    )
+    winners = pages.groupBy(url_col).agg(
+        F.max_by(payload, order).alias("_w"),
+        F.count(F.lit(1)).alias("n_captures"),
+    )
+    return winners.select(
+        url_col,
+        *[F.col(f"_w.{c}").alias(c) for c in rest],
+        F.col("n_captures").cast("long").alias("n_captures"),
+    )

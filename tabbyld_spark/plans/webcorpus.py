@@ -2,6 +2,14 @@
 model-ready packed training sequences out — the FineWeb/RefinedWeb shape,
 composed from the individually-tested operators:
 
+    W0a latest capture   optional newest-snapshot-wins collapse per raw URL
+                         (``latest_only=``): Common-Crawl inputs carry many
+                         captures of a page across crawls (warc_ts is in the
+                         input schema for this); stale snapshots would
+                         double-count lines through every downstream dedup.
+                         Runs at the cheap raw-URL grain BEFORE any content
+                         work; captures hiding behind different URL
+                         spellings are collapsed by W0's alias dedup next
     W0 URL canonicalize  optional alias collapse (``canonicalize_urls=``):
                          scheme/host case, default ports, tracking params,
                          query order, fragments — one canonical survivor
@@ -59,9 +67,15 @@ def prep_web_corpus(
     exact_substr_k: int | None = None,
     canonicalize_urls: bool = False,
     lm_nll_max: float | None = None,
+    latest_only: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang, …) → (seq_key, doc_id=url,
     chunk_id, chunk_text, n_chunk_tokens, bucket, cum_tokens, pack_id)."""
+    if latest_only:
+        from tabbyld_spark.operators.urls import latest_capture
+
+        # W0a: newest capture per raw URL (deterministic md5 tiebreak)
+        pages = latest_capture(pages).drop("n_captures")
     if canonicalize_urls:
         from tabbyld_spark.operators.urls import url_dedup
 

@@ -165,3 +165,38 @@ def test_plan_hygiene(spark):
     plan2 = url_dedup(pages)._jdf.queryExecution().executedPlan().toString()
     assert plan2.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan2 and "ArrowEvalPython" not in plan2
+
+
+def test_latest_capture_newest_wins_and_counts(spark):
+    import pyspark.sql.functions as F
+
+    from tabbyld_spark.operators.urls import latest_capture
+
+    p = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 00:00:00", b"old"),
+            ("u1", "2024-03-01 00:00:00", b"new"),
+            ("u1", "2024-02-01 00:00:00", b"mid"),
+            ("u2", "2024-01-01 00:00:00", b"only"),
+        ],
+        "url string, warc_ts string, html binary",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    got = {r["url"]: (bytes(r["html"]), r["n_captures"]) for r in latest_capture(p).collect()}
+    assert got == {"u1": (b"new", 3), "u2": (b"only", 1)}
+
+
+def test_latest_capture_equal_ts_tie_is_deterministic(spark):
+    import pyspark.sql.functions as F
+
+    from tabbyld_spark.operators.urls import latest_capture
+
+    rows = [("u1", "2024-01-01 00:00:00", c.encode()) for c in ("aaa", "bbb", "ccc")]
+    p = spark.createDataFrame(
+        rows, "url string, warc_ts string, html binary"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    a = bytes(latest_capture(p).collect()[0]["html"])
+    b = bytes(latest_capture(p.repartition(7)).collect()[0]["html"])
+    import hashlib
+
+    want = max(rows, key=lambda r: hashlib.md5(r[2]).hexdigest())[2]
+    assert a == b == want

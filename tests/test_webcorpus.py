@@ -129,3 +129,24 @@ def test_lm_gate_drops_gibberish_page(spark, pages):
     a = base.select("seq_key", "bucket", "pack_id")
     b = loose.select("seq_key", "bucket", "pack_id")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_latest_only_drops_stale_captures(spark, pages):
+    """W0a: polluting the corpus with older captures (different content) of
+    every page must produce EXACTLY the clean corpus's output when
+    latest_only is on."""
+    kw = dict(lang="en", max_tokens=32, overlap=8, seq_len=256, n_buckets=8)
+    stale = pages.withColumn(
+        "warc_ts", F.col("warc_ts") - F.expr("INTERVAL 30 DAYS")
+    ).withColumn(
+        "html",
+        F.concat(F.lit("<html><body><p>stale junk body</p></body></html>"))
+        .cast("binary"),
+    )
+    polluted = pages.unionByName(stale.select(*pages.columns))
+    clean = prep_web_corpus(pages, **kw)
+    collapsed = prep_web_corpus(polluted, latest_only=True, **kw)
+    a = clean.select("seq_key", "chunk_text", "bucket", "pack_id")
+    b = collapsed.select("seq_key", "chunk_text", "bucket", "pack_id")
+    assert a.count() > 0
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
