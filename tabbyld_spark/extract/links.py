@@ -28,24 +28,56 @@ from tabbyld_spark.operators.webfilter import url_host
 _HREF_DQ = r'<[aA]\s[^>]*href\s*=\s*"([^"]*)"'
 _HREF_SQ = r"<[aA]\s[^>]*href\s*=\s*'([^']*)'"
 
+# whole <a ...> tag (for rel= inspection), double-/single-quoted href
+_A_TAG_DQ = r'<[aA]\s[^>]*href\s*=\s*"[^"]*"[^>]*>'
+_A_TAG_SQ = r"<[aA]\s[^>]*href\s*=\s*'[^']*'[^>]*>"
+
 
 def extract_outlinks(
-    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    drop_nofollow: bool = False,
 ) -> DataFrame:
     """pages(url, html:binary, ...) → (src_url, dst_url), one row per
     absolute http(s) outlink, de-duplicated per page.  Fragment-only and
     relative links are dropped (host-graph consumers resolve nothing);
     self-links survive — PageRank treats them as ordinary edges.
+
+    ``drop_nofollow=True`` excludes links whose <a> tag carries
+    ``rel=nofollow`` (incl. rel lists like "ugc nofollow") — the crawl-graph
+    semantic PageRank was amended for: nofollow links must not confer rank.
+    The default keeps them (cheaper single-pass href extraction; a corpus
+    profile usually wants all links, a ranking graph wants them dropped).
     """
     # NOT decode(html, 'UTF-8'): Spark 4 raises MALFORMED_CHARACTER_CODING on
     # the first invalid byte sequence — guaranteed in crawl HTML.  The binary→
     # string cast wraps the bytes leniently (replacement-character semantics
     # at read time), never fails a task.
     html_s = F.col(html_col).cast("string")
-    hrefs = F.array_union(
-        F.regexp_extract_all(html_s, F.lit(_HREF_DQ), 1),
-        F.regexp_extract_all(html_s, F.lit(_HREF_SQ), 1),
-    )
+    if drop_nofollow:
+        # tag-grain extraction so rel can be inspected; per-element regexes
+        # reference only the lambda's own element (HOF re-evaluation trap)
+        tags = F.concat(
+            F.regexp_extract_all(html_s, F.lit(_A_TAG_DQ), 0),
+            F.regexp_extract_all(html_s, F.lit(_A_TAG_SQ), 0),
+        )
+        followed = F.filter(
+            tags,
+            lambda t: ~t.rlike(r'(?i)\srel\s*=\s*["\']?[^"\'>]*\bnofollow\b'),
+        )
+        hrefs = F.transform(
+            followed,
+            lambda t: F.coalesce(
+                F.nullif(F.regexp_extract(t, _HREF_DQ, 1), F.lit("")),
+                F.regexp_extract(t, _HREF_SQ, 1),
+            ),
+        )
+    else:
+        hrefs = F.array_union(
+            F.regexp_extract_all(html_s, F.lit(_HREF_DQ), 1),
+            F.regexp_extract_all(html_s, F.lit(_HREF_SQ), 1),
+        )
     return (
         pages.select(
             F.col(url_col).alias("src_url"),

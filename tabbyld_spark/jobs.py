@@ -239,6 +239,7 @@ def cmd_webprep(args: argparse.Namespace) -> dict:
         canonicalize_urls=args.canonicalize_urls,
         lm_nll_max=args.lm_nll_max,
         latest_only=args.latest_only,
+        respect_noindex=args.respect_noindex,
     )
     seqs.write.mode("overwrite").parquet(args.out)
     out = spark.read.parquet(args.out)
@@ -302,7 +303,7 @@ def cmd_graph(args: argparse.Namespace) -> dict:
 
     spark = _session("tabbyld-graph")
     pages = spark.read.parquet(args.pages)
-    edges = host_edges(extract_outlinks(pages))
+    edges = host_edges(extract_outlinks(pages, drop_nofollow=args.drop_nofollow))
     cc = connected_components(edges, salt=args.salt)
     pr = pagerank(edges, iterations=args.iterations, round_to=6)
     # the published node table carries the full curation profile: component,
@@ -373,6 +374,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="enable the ExactSubstr duplicate-span scrub at this window size",
     )
     wp.add_argument(
+        "--respect-noindex", action="store_true",
+        help="W1b: exclude pages whose robots meta declares noindex/none",
+    )
+    wp.add_argument(
         "--latest-only", action="store_true",
         help="W0a: collapse multiple captures of a URL to the newest "
         "(max warc_ts, deterministic md5 tiebreak) before any content work",
@@ -407,6 +412,10 @@ def build_parser() -> argparse.ArgumentParser:
     gr.add_argument("--out", required=True)
     gr.add_argument("--iterations", type=int, default=10)
     gr.add_argument("--salt", type=int, default=1)
+    gr.add_argument(
+        "--drop-nofollow", action="store_true",
+        help="exclude rel=nofollow links from the ranked graph",
+    )
     gr.set_defaults(func=cmd_graph)
     return p
 

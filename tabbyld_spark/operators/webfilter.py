@@ -67,3 +67,41 @@ def url_filter(
     hit = sfx.join(bl, sfx._sfx == bl._blocked, "left_semi").select(url_col).distinct()
     join_type = "left_anti" if mode == "block" else "left_semi"
     return with_host.join(hit, url_col, join_type)
+
+
+# <meta name="robots" ... content="..."> (or name after content — attribute
+# order varies in the wild); directive scan is a substring match inside the
+# captured content value.  Java-regex, case-insensitive via (?i).
+_META_ROBOTS_NC = (
+    r'(?i)<meta\s[^>]*name\s*=\s*["\']?robots["\']?[^>]*'
+    r'content\s*=\s*["\']([^"\']*)["\']'
+)
+_META_ROBOTS_CN = (
+    r'(?i)<meta\s[^>]*content\s*=\s*["\']([^"\']*)["\'][^>]*'
+    r'name\s*=\s*["\']?robots["\']?'
+)
+
+
+def robots_noindex(html_col: str = "html") -> Column:
+    """Boolean column: the page's HTML carries a robots meta directive with
+    ``noindex`` (or ``none``, which implies it).  Publishing pipelines must
+    respect this before emitting a page's content — the standard crawl
+    politeness gate after robots.txt (which gates fetching, not indexing;
+    fetch-side exclusion happens upstream of this table).
+
+    Pure codegen: lenient binary→string cast + two `regexp_extract` passes
+    (attribute order varies in the wild), no Python, no shuffle — a
+    zero-cost predicate to push down before any content work."""
+    html_s = F.col(html_col).cast("string")
+    content = F.concat_ws(
+        ",",
+        F.regexp_extract(html_s, _META_ROBOTS_NC, 1),
+        F.regexp_extract(html_s, _META_ROBOTS_CN, 1),
+    )
+    c = F.lower(content)
+    return c.rlike(r"(^|[,\s])(noindex|none)([,\s]|$)")
+
+
+def drop_noindex(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Keep only pages without a robots ``noindex``/``none`` directive."""
+    return pages.filter(~robots_noindex(html_col))

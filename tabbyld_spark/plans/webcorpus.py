@@ -15,6 +15,11 @@ composed from the individually-tested operators:
                          query order, fragments — one canonical survivor
                          per page BEFORE any content work runs
     W1 URL filter        registrable-suffix blocklist, cheapest grain first
+    W1b noindex gate     optional robots-meta politeness filter
+                         (``respect_noindex=``): pages whose HTML declares
+                         ``noindex``/``none`` are excluded before any
+                         content is published — a zero-shuffle codegen
+                         predicate over the raw bytes
     W2 extract           html → byte-identical text (the ONE Arrow UDF)
     W3 line dedup        C4-style global first-occurrence line dedup
     W3b span dedup       optional ExactSubstr duplicate-span scrub (Lee et
@@ -68,6 +73,7 @@ def prep_web_corpus(
     canonicalize_urls: bool = False,
     lm_nll_max: float | None = None,
     latest_only: bool = False,
+    respect_noindex: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang, …) → (seq_key, doc_id=url,
     chunk_id, chunk_text, n_chunk_tokens, bucket, cum_tokens, pack_id)."""
@@ -86,6 +92,12 @@ def prep_web_corpus(
         pages = url_dedup(pages).drop("source_url", "n_aliases")
     if blocklist is not None:
         pages = url_filter(pages, blocklist)
+    if respect_noindex:
+        from tabbyld_spark.operators.webfilter import drop_noindex
+
+        # W1b: robots-meta politeness gate, still at the cheap pre-extract
+        # grain (one codegen predicate over the raw bytes)
+        pages = drop_noindex(pages)
     docs = extract_pages(pages).select(
         F.col("url").alias("doc_id"), F.col("extracted_text").alias("text")
     )

@@ -189,3 +189,24 @@ def test_anchor_dictionary_feeds_exact_candidates(spark):
     ).withColumn("mention_norm", normalize_entry(F.col("mention")))
     got = exact_candidates(mentions, d).collect()
     assert len(got) == 1 and got[0]["entity"] == "apple.example.com"
+
+
+def test_extract_outlinks_drop_nofollow(spark):
+    from tabbyld_spark.extract.links import extract_outlinks
+
+    html = (
+        '<a href="https://f.example.com/1">follow</a>'
+        '<a rel="nofollow" href="https://n.example.com/2">nf</a>'
+        "<a href='https://g.example.com/3' rel='ugc nofollow'>nf-list</a>"
+        '<a rel="noopener" href="https://k.example.com/4">keep-rel</a>'
+    )
+    pages = _pages(spark, [("https://me/p1", html)])
+    all_links = {r["dst_url"] for r in extract_outlinks(pages).collect()}
+    assert all_links == {
+        "https://f.example.com/1", "https://n.example.com/2",
+        "https://g.example.com/3", "https://k.example.com/4",
+    }
+    followed = {
+        r["dst_url"] for r in extract_outlinks(pages, drop_nofollow=True).collect()
+    }
+    assert followed == {"https://f.example.com/1", "https://k.example.com/4"}

@@ -150,3 +150,28 @@ def test_latest_only_drops_stale_captures(spark, pages):
     b = collapsed.select("seq_key", "chunk_text", "bucket", "pack_id")
     assert a.count() > 0
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_respect_noindex_gates_pages(spark, pages):
+    """W1b: a planted noindex page must not contribute any chunk."""
+    kw = dict(lang="en", max_tokens=32, overlap=8, seq_len=256, n_buckets=8)
+    noindex = pages.limit(1).select(
+        F.lit("https://fixture.example.org/page/noindex").alias("url"),
+        "warc_ts",
+        F.concat(
+            F.lit('<html><head><meta name="robots" content="noindex"></head>'
+                  "<body><p>secret words that must not surface</p></body></html>")
+        ).cast("binary").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    polluted = pages.unionByName(noindex.select(*pages.columns))
+    gated = prep_web_corpus(polluted, respect_noindex=True, **kw)
+    assert gated.filter(
+        F.col("doc_id") == "https://fixture.example.org/page/noindex"
+    ).count() == 0
+    # and the gate leaves compliant pages byte-identical to the clean run
+    base = prep_web_corpus(pages, **kw)
+    a = base.select("seq_key", "chunk_text", "bucket", "pack_id")
+    b = gated.select("seq_key", "chunk_text", "bucket", "pack_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -74,3 +74,22 @@ def test_plan_broadcasts_blocklist(spark):
     p = url_filter(_pages(spark), bl)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p
     assert "EvalPython" not in p and "MapInPandas" not in p
+
+
+def test_robots_noindex_directive_paths(spark):
+    from tabbyld_spark.operators.webfilter import drop_noindex
+
+    rows = [
+        ("keep-plain", b"<html><head></head><body>x</body></html>"),
+        ("drop-noindex", b'<meta name="robots" content="noindex, follow">'),
+        ("drop-none", b"<meta name='robots' content='none'>"),
+        ("drop-rev-attrs", b'<meta content="NOINDEX" name="robots">'),
+        ("keep-nofollow-only", b'<meta name="robots" content="nofollow">'),
+        ("keep-other-meta", b'<meta name="description" content="noindex here">'),
+        # substring must not match inside another token
+        ("keep-token-bound", b'<meta name="robots" content="nonoindexy">'),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    kept = {r["url"] for r in drop_noindex(pages).collect()}
+    assert kept == {"keep-plain", "keep-nofollow-only", "keep-other-meta",
+                    "keep-token-bound"}
