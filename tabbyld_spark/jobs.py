@@ -240,6 +240,7 @@ def cmd_webprep(args: argparse.Namespace) -> dict:
         lm_nll_max=args.lm_nll_max,
         latest_only=args.latest_only,
         respect_noindex=args.respect_noindex,
+        robots=(spark.read.parquet(args.robots) if args.robots else None),
     )
     seqs.write.mode("overwrite").parquet(args.out)
     out = spark.read.parquet(args.out)
@@ -372,6 +373,11 @@ def build_parser() -> argparse.ArgumentParser:
     wp.add_argument(
         "--exact-substr-k", type=int, default=None,
         help="enable the ExactSubstr duplicate-span scrub at this window size",
+    )
+    wp.add_argument(
+        "--robots", default=None,
+        help="W1a: parquet of (host, robots_txt) — filter URLs by REP rules "
+        "for agent '*' (longest match wins, allow on ties)",
     )
     wp.add_argument(
         "--respect-noindex", action="store_true",

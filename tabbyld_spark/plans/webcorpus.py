@@ -15,6 +15,11 @@ composed from the individually-tested operators:
                          query order, fragments — one canonical survivor
                          per page BEFORE any content work runs
     W1 URL filter        registrable-suffix blocklist, cheapest grain first
+    W1a robots gate      optional robots.txt REP filter (``robots=`` table
+                         of (host, robots_txt)): per-host prefix rules for
+                         agent '*' with longest-match/allow-tie semantics
+                         (operators/robots.py), applied at URL grain before
+                         any content work
     W1b noindex gate     optional robots-meta politeness filter
                          (``respect_noindex=``): pages whose HTML declares
                          ``noindex``/``none`` are excluded before any
@@ -74,6 +79,7 @@ def prep_web_corpus(
     lm_nll_max: float | None = None,
     latest_only: bool = False,
     respect_noindex: bool = False,
+    robots: DataFrame | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang, …) → (seq_key, doc_id=url,
     chunk_id, chunk_text, n_chunk_tokens, bucket, cum_tokens, pack_id)."""
@@ -92,6 +98,11 @@ def prep_web_corpus(
         pages = url_dedup(pages).drop("source_url", "n_aliases")
     if blocklist is not None:
         pages = url_filter(pages, blocklist)
+    if robots is not None:
+        from tabbyld_spark.operators.robots import parse_robots, robots_filter
+
+        # W1a: fetch-policy REP gate, still at URL grain
+        pages = robots_filter(pages, parse_robots(robots))
     if respect_noindex:
         from tabbyld_spark.operators.webfilter import drop_noindex
 

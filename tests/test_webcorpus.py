@@ -175,3 +175,25 @@ def test_respect_noindex_gates_pages(spark, pages):
     a = base.select("seq_key", "chunk_text", "bucket", "pack_id")
     b = gated.select("seq_key", "chunk_text", "bucket", "pack_id")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_robots_gate_blocks_disallowed_paths(spark, pages):
+    """W1a: a robots table disallowing the fixture's /page/ path for one
+    host-equivalent prefix must prune those pages; a permissive table
+    leaves output byte-identical."""
+    kw = dict(lang="en", max_tokens=32, overlap=8, seq_len=256, n_buckets=8)
+    deny = spark.createDataFrame(
+        [("fixture.example.org", "User-agent: *\nDisallow: /page/")],
+        "host string, robots_txt string",
+    )
+    assert prep_web_corpus(pages, robots=deny, **kw).count() == 0
+    allow = spark.createDataFrame(
+        [("fixture.example.org", "User-agent: *\nDisallow: /nowhere/")],
+        "host string, robots_txt string",
+    )
+    base = prep_web_corpus(pages, **kw)
+    gated = prep_web_corpus(pages, robots=allow, **kw)
+    a = base.select("seq_key", "chunk_text", "bucket", "pack_id")
+    b = gated.select("seq_key", "chunk_text", "bucket", "pack_id")
+    assert a.count() > 0
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
