@@ -35,6 +35,9 @@ mix           deterministic per-key mixture sampling (the "2 epochs of
               copies, a pure function of the doc id.
 graph         the crawl link graph: pages → outlinks → host edges →
               connected components + PageRank at node grain.
+diff          recrawl snapshot delta: two pages tables → per-URL
+              added/removed/changed/unchanged (digest join — the input
+              of an incremental re-run is added ∪ changed).
 
 Reference parity: the reference drives these flows from console commands
 (``php yii spreadsheet/annotate ...``, /root/reference/commands/
@@ -329,6 +332,34 @@ def cmd_graph(args: argparse.Namespace) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# diff
+# ---------------------------------------------------------------------------
+
+
+def cmd_diff(args: argparse.Namespace) -> dict:
+    from pyspark.sql import functions as F
+
+    from tabbyld_spark.operators.urls import crawl_diff
+
+    spark = _session("tabbyld-diff")
+    delta = crawl_diff(
+        spark.read.parquet(args.old), spark.read.parquet(args.new)
+    )
+    delta.write.mode("overwrite").parquet(args.out)
+    counts = {
+        r["status"]: r["n"]
+        for r in spark.read.parquet(args.out)
+        .groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return {
+        "command": "diff",
+        "out": args.out,
+        **{s: int(counts.get(s, 0))
+           for s in ("added", "removed", "changed", "unchanged")},
+    }
+
+
+# ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------
 
@@ -423,6 +454,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="exclude rel=nofollow links from the ranked graph",
     )
     gr.set_defaults(func=cmd_graph)
+
+    df = sub.add_parser("diff", help="recrawl snapshot delta at URL grain")
+    df.add_argument("--old", required=True, help="previous pages parquet")
+    df.add_argument("--new", required=True, help="current pages parquet")
+    df.add_argument("--out", required=True)
+    df.set_defaults(func=cmd_diff)
     return p
 
 

@@ -228,3 +228,37 @@ def latest_capture(
         *[F.col(f"_w.{c}").alias(c) for c in rest],
         F.col("n_captures").cast("long").alias("n_captures"),
     )
+
+
+def crawl_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    content_col: str = "html",
+) -> DataFrame:
+    """Snapshot delta between two crawls of the pages table: one row per URL
+    present in either snapshot with ``status`` ∈ {added, removed, changed,
+    unchanged} and both content digests.  A 10^12-page recrawl reprocesses
+    only added ∪ changed — this is the operator that turns full recrawls
+    into incremental pipeline runs (the pipeline's catalog resume handles
+    *job* restarts; this handles *input* deltas).
+
+    One co-partitioned full-outer join on the URL; content equality is
+    md5-digest equality computed map-side, so the shuffle carries two
+    16-byte digests per URL, never page bodies."""
+    o = old.select(
+        F.col(url_col).alias(url_col),
+        F.md5(F.col(content_col).cast("binary")).alias("old_digest"),
+    )
+    n = new.select(
+        F.col(url_col).alias(url_col),
+        F.md5(F.col(content_col).cast("binary")).alias("new_digest"),
+    )
+    j = o.join(n, url_col, "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") == F.col("new_digest"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(url_col, status.alias("status"), "old_digest", "new_digest")

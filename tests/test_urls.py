@@ -200,3 +200,42 @@ def test_latest_capture_equal_ts_tie_is_deterministic(spark):
 
     want = max(rows, key=lambda r: hashlib.md5(r[2]).hexdigest())[2]
     assert a == b == want
+
+
+def test_crawl_diff_statuses(spark):
+    from tabbyld_spark.operators.urls import crawl_diff
+
+    old = spark.createDataFrame(
+        [("u-keep", b"same"), ("u-edit", b"v1"), ("u-gone", b"x")],
+        "url string, html binary",
+    )
+    new = spark.createDataFrame(
+        [("u-keep", b"same"), ("u-edit", b"v2"), ("u-new", b"y")],
+        "url string, html binary",
+    )
+    got = {r["url"]: r["status"] for r in crawl_diff(old, new).collect()}
+    assert got == {
+        "u-keep": "unchanged",
+        "u-edit": "changed",
+        "u-gone": "removed",
+        "u-new": "added",
+    }
+
+
+def test_crawl_diff_shuffle_carries_digests_not_bodies(spark):
+    from tabbyld_spark.operators.urls import crawl_diff
+
+    old = spark.createDataFrame([("u", b"a" * 1000)], "url string, html binary")
+    new = spark.createDataFrame([("u", b"b" * 1000)], "url string, html binary")
+    plan = (
+        crawl_diff(old, new)._jdf.queryExecution().executedPlan().toString()
+    )
+    # each join input projects the md5 digest directly beneath its exchange,
+    # so the shuffle payload is (url, digest) — raw html never crosses
+    import re
+
+    below_exchange = re.findall(
+        r"Exchange hashpartitioning\(url[^\n]*\n[^\n]*Project \[url[^\n]*md5\(html",
+        plan,
+    )
+    assert len(below_exchange) == 2, plan
