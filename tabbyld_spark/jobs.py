@@ -38,6 +38,10 @@ graph         the crawl link graph: pages → outlinks → host edges →
 diff          recrawl snapshot delta: two pages tables → per-URL
               added/removed/changed/unchanged (digest join — the input
               of an incremental re-run is added ∪ changed).
+refresh       incremental annotate: S1-S6 over added ∪ changed pages only,
+              invalidate removed ∪ changed rows, commit merged CEA/CTA/CPA
+              + re-emitted triples as new catalog snapshots (provably equal
+              to a full recompute — annotation is table-local).
 
 Reference parity: the reference drives these flows from console commands
 (``php yii spreadsheet/annotate ...``, /root/reference/commands/
@@ -332,6 +336,51 @@ def cmd_graph(args: argparse.Namespace) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# refresh (incremental annotate from a recrawl delta)
+# ---------------------------------------------------------------------------
+
+
+def cmd_refresh(args: argparse.Namespace) -> dict:
+    from pyspark.sql import functions as F
+
+    from tabbyld_spark.operators.urls import crawl_diff
+    from tabbyld_spark.plans.incremental import refresh_annotations
+    from tabbyld_spark.sources.catalog import make_catalog
+
+    spark = _session("tabbyld-refresh")
+    old_pages = spark.read.parquet(args.old_pages)
+    new_pages = spark.read.parquet(args.pages)
+    kg = _read_kg(spark, args.kg)
+    catalog = make_catalog(spark, args.catalog)
+
+    prev = {t: catalog.read(spark, t) for t in ("cea", "cta", "cpa")}
+    delta_counts = {
+        r["status"]: int(r["n"])
+        for r in crawl_diff(old_pages, new_pages)
+        .groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    cea, cta, cpa, triples = refresh_annotations(
+        old_pages, new_pages, prev["cea"], prev["cta"], prev["cpa"], kg,
+        fuzzy_enabled=not args.no_fuzzy,
+    )
+    snaps = {}
+    for name, df in (("cea", cea), ("cta", cta), ("cpa", cpa),
+                     ("triples", triples)):
+        snaps[name] = catalog.write(
+            df, name, lineage={"stage": "refresh", "delta": delta_counts}
+        )
+    n_triples = catalog.read(spark, "triples").count()
+    return {
+        "command": "refresh",
+        "catalog": args.catalog,
+        "delta": {s: delta_counts.get(s, 0)
+                  for s in ("added", "removed", "changed", "unchanged")},
+        "triples": n_triples,
+        "snapshots": snaps,
+    }
+
+
+# ---------------------------------------------------------------------------
 # diff
 # ---------------------------------------------------------------------------
 
@@ -454,6 +503,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="exclude rel=nofollow links from the ranked graph",
     )
     gr.set_defaults(func=cmd_graph)
+
+    rf = sub.add_parser(
+        "refresh", help="incremental annotate: re-run S1-S6 on added∪changed "
+        "pages only, commit merged CEA/CTA/CPA + re-emitted triples"
+    )
+    rf.add_argument("--old-pages", required=True, help="previous pages parquet")
+    rf.add_argument("--pages", required=True, help="current pages parquet")
+    rf.add_argument("--kg", required=True)
+    rf.add_argument("--catalog", required=True,
+                    help="catalog of a prior annotate run (cea/cta/cpa read, "
+                    "new snapshots committed)")
+    rf.add_argument("--no-fuzzy", action="store_true")
+    rf.set_defaults(func=cmd_refresh)
 
     df = sub.add_parser("diff", help="recrawl snapshot delta at URL grain")
     df.add_argument("--old", required=True, help="previous pages parquet")
