@@ -712,11 +712,16 @@ def q_webprep(spark, sf_dir):
     pages = latest_capture(pages, tiebreak_col="text").drop(
         "n_captures", "warc_ts"
     )
-    pages = url_dedup(pages).drop("source_url", "n_aliases")
+    from tabbyld_spark.functions.lineage import cut
+
+    # url_filter and line_dedup each consume their input twice (explode/
+    # winner agg + join-back); cutting after each aggregation stage keeps
+    # the W0a/W0 aggregations from re-running 4x through the chain
+    pages = cut(url_dedup(pages).drop("source_url", "n_aliases"))
     bl = spark.createDataFrame(
         [("src3.example.com",), ("d7.src0.example.com",)], "domain string"
     )
-    kept = url_filter(pages, bl).select(F.col("url").alias("doc_id"), "text")
+    kept = cut(url_filter(pages, bl).select(F.col("url").alias("doc_id"), "text"))
     deduped = line_dedup(kept).select("doc_id", "text")
     chunks = chunk_documents(deduped, max_tokens=16, overlap=4)
     keyed = chunks.withColumn(

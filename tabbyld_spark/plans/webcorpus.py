@@ -96,6 +96,15 @@ def prep_web_corpus(
         # stays a pure function of the input set); unparseable URLs pass
         # through and W1/W2 treat them as they always did
         pages = url_dedup(pages).drop("source_url", "n_aliases")
+    if latest_only or canonicalize_urls:
+        from tabbyld_spark.functions.lineage import cut
+
+        # several downstream operators consume their input twice (explode +
+        # join-back); without a lineage cut here those re-evaluations
+        # COMPOUND through the chain (2x per such stage), re-running the W0
+        # aggregations 4-8x.  Raw scans are cheap to recompute; aggregated
+        # W0 output is not.
+        pages = cut(pages)
     if blocklist is not None:
         pages = url_filter(pages, blocklist)
     if robots is not None:
@@ -109,8 +118,15 @@ def prep_web_corpus(
         # W1b: robots-meta politeness gate, still at the cheap pre-extract
         # grain (one codegen predicate over the raw bytes)
         pages = drop_noindex(pages)
-    docs = extract_pages(pages).select(
-        F.col("url").alias("doc_id"), F.col("extracted_text").alias("text")
+    from tabbyld_spark.functions.lineage import cut
+
+    # the Arrow extract is the most expensive map stage in the plan and
+    # line_dedup consumes its output twice (winner agg + join-back) — cut
+    # so the UDF runs once per page, not once per consumer
+    docs = cut(
+        extract_pages(pages).select(
+            F.col("url").alias("doc_id"), F.col("extracted_text").alias("text")
+        )
     )
     deduped = line_dedup(docs).select("doc_id", "text")
     if exact_substr_k is not None:
