@@ -41,9 +41,17 @@ def prep_corpus(
     """→ survivors (doc_id, pred_lang, n_chars, n_tokens, punct_ratio,
     stopword_ratio) after S1–S4.  Ratio columns are rounded for the
     cross-engine compare; the gates cut on the raw values."""
+    from tabbyld_spark.functions.lineage import cut
+
+    # each stage's survivor set is consumed twice (its own aggregate + the
+    # join probe, or two downstream feature scans) — without cuts the input
+    # re-evaluates 2x PER STAGE, compounding to 8x on the raw docs
     d1 = exact_dedup(docs)
-    s1 = docs.join(
-        d1.filter(F.col("doc_id") == F.col("keep_id")).select("doc_id"), "doc_id"
+    s1 = cut(
+        docs.join(
+            d1.filter(F.col("doc_id") == F.col("keep_id")).select("doc_id"),
+            "doc_id",
+        )
     )
     sh = simhash(s1)
     s2_keep = (
@@ -53,7 +61,7 @@ def prep_corpus(
         .filter(F.col("doc_id") == F.col("_keep"))
         .select("doc_id")
     )
-    s2 = s1.join(s2_keep, "doc_id")
+    s2 = cut(s1.join(s2_keep, "doc_id"))
     li = language_id(s2)
     q = quality_stats(s2)
     return (
