@@ -121,26 +121,10 @@ def q_topk_window(spark, sf_dir):
     )
 
 
-def q_anti_join(spark, sf_dir):
-    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
-    )
-
-
 def q_semi_join(spark, sf_dir):
     p, li = _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem")
     return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
         "p_partkey", "p_name"
-    )
-
-
-def q_union_distinct(spark, sf_dir):
-    c, s = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
-    return (
-        c.select(F.col("c_nationkey").cast("long").alias("nationkey"))
-        .unionByName(s.select(F.col("s_nationkey").cast("long").alias("nationkey")))
-        .distinct()
     )
 
 
@@ -899,6 +883,97 @@ def q_media_frames(spark, sf_dir):
     )
 
 
+def _kg_triples(spark, sf_dir):
+    """A deterministic KG derived from the TPC-H-ish tables — the triple
+    universe for the KG read-path queries (q_kg_pattern / q_kg_validate).
+    Predicates are distinct per source relation so patterns select cleanly;
+    the nation subject rows are deliberately RESTRICTED to n_nationkey < 20
+    and ``supplied_by`` is deliberately multi-valued, seeding the dangling-
+    reference and functional-violation populations q_kg_validate asserts."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c:"), "c_custkey").alias("subj"),
+        F.lit("cust_nation").alias("pred"),
+        F.concat(F.lit("n:"), "c_nationkey").alias("obj"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("s:"), "s_suppkey").alias("subj"),
+        F.lit("supp_nation").alias("pred"),
+        F.concat(F.lit("n:"), "s_nationkey").alias("obj"),
+    )
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 20)
+    nr = n.select(
+        F.concat(F.lit("n:"), "n_nationkey").alias("subj"),
+        F.lit("in_region").alias("pred"),
+        F.concat(F.lit("r:"), "n_regionkey").alias("obj"),
+    )
+    big = n.filter(F.col("n_nationkey") >= 10).select(
+        F.concat(F.lit("n:"), "n_nationkey").alias("subj"),
+        F.lit("rdf:type").alias("pred"),
+        F.lit("Big").alias("obj"),
+    )
+    small = n.filter(F.col("n_nationkey") < 15).select(
+        F.concat(F.lit("n:"), "n_nationkey").alias("subj"),
+        F.lit("rdf:type").alias("pred"),
+        F.lit("Small").alias("obj"),
+    )
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.concat(F.lit("p:"), "l_partkey").alias("subj"),
+            F.lit("supplied_by").alias("pred"),
+            F.concat(F.lit("s:"), "l_suppkey").alias("obj"),
+        )
+        .distinct()
+    )
+    out = c
+    for part in (s, nr, big, small, ps):
+        out = out.unionByName(part)
+    return out
+
+
+def q_kg_pattern(spark, sf_dir):
+    """SPARQL-style basic graph pattern over the emitted-triples shape
+    (operators/kgquery.py:bgp_match — the read path of the KG the pipeline
+    constructs; the reference issues the same conjunctive patterns against
+    DBpedia in components/CandidateEntityRecognizer.php): customers and
+    suppliers co-located in a nation of region r:1.  Three triple patterns,
+    two shared-variable equi-joins, constants pushed to the scans; join
+    order is most-constrained-first (the in_region pattern with 2 constants
+    anchors the plan).  Twin: the same pattern as three-way SQL self-join."""
+    from tabbyld_spark.operators.kgquery import bgp_match
+
+    t = _kg_triples(spark, sf_dir)
+    out = bgp_match(
+        t,
+        [
+            ("?c", "cust_nation", "?n"),
+            ("?s", "supp_nation", "?n"),
+            ("?n", "in_region", "r:1"),
+        ],
+    )
+    return out.select("c", "n", "s")
+
+
+def q_kg_validate(spark, sf_dir):
+    """KG snapshot integrity gate (operators/kgquery.py:kg_integrity_profile):
+    functional-predicate violations (parts with >1 distinct supplier on the
+    declared-functional supplied_by), dangling entity references (n:-prefixed
+    objects with no subject row — nations >= 20, referenced by customers but
+    deliberately absent from the nation subject set), and disjoint-class
+    conflicts (nations typed both Big and Small, the 10..14 overlap).  Each
+    check is one aggregate / anti-join / broadcast-pair self-join; the twin
+    re-derives all three straight from the base tables."""
+    from tabbyld_spark.operators.kgquery import kg_integrity_profile
+
+    t = _kg_triples(spark, sf_dir)
+    return kg_integrity_profile(
+        t,
+        functional_preds=["supplied_by"],
+        entity_prefix="n:",
+        disjoint_pairs=[("Big", "Small")],
+    )
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash-LSH recall contract (driver-checkable invariant for an
     inherently approximate surface): every exact word-3-gram-Jaccard pair at
@@ -1067,9 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_agg_groupby": q_agg_groupby,
         "q_join_multi": q_join_multi,
         "q_topk_window": q_topk_window,
-        "q_anti_join": q_anti_join,
         "q_semi_join": q_semi_join,
-        "q_union_distinct": q_union_distinct,
         "q_conditional_agg": q_conditional_agg,
         "q_argmax": q_argmax,
         "q_events_daily": q_events_daily,
@@ -1108,6 +1181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": q_cosine_topk,
         "q_closure": q_closure,
         "q_connected_components": q_connected_components,
+        "q_kg_pattern": q_kg_pattern,
+        "q_kg_validate": q_kg_validate,
         "q_minhash_pairs": q_minhash_pairs,
         "q_ann_recall": q_ann_recall,
         "q_sti_cea": q_sti_cea,
@@ -1510,20 +1585,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
             ) WHERE rk <= 3
         """,
-        "q_anti_join": """
-            SELECT c_custkey, c_name FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        """,
         "q_semi_join": """
             SELECT p_partkey, p_name FROM part
             WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
-        """,
-        "q_union_distinct": """
-            SELECT DISTINCT nationkey FROM (
-                SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
-                UNION ALL
-                SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
-            )
         """,
         "q_conditional_agg": """
             SELECT o_orderpriority,
@@ -2326,4 +2390,40 @@ def oracle_sql() -> dict[str, str]:
             FROM walk GROUP BY child, parent
         """,
         "q_connected_components": _CC_PAGERANK_SQL,
+        "q_kg_pattern": """
+            WITH t AS (
+                SELECT 'c:' || c_custkey AS subj, 'cust_nation' AS pred,
+                       'n:' || c_nationkey AS obj FROM customer
+                UNION ALL
+                SELECT 's:' || s_suppkey, 'supp_nation',
+                       'n:' || s_nationkey FROM supplier
+                UNION ALL
+                SELECT 'n:' || n_nationkey, 'in_region',
+                       'r:' || n_regionkey FROM nation WHERE n_nationkey < 20
+            )
+            SELECT p1.subj AS c, p1.obj AS n, p2.subj AS s
+            FROM t p1
+            JOIN t p2 ON p2.obj = p1.obj AND p2.pred = 'supp_nation'
+            JOIN t p3 ON p3.subj = p1.obj AND p3.pred = 'in_region'
+                     AND p3.obj = 'r:1'
+            WHERE p1.pred = 'cust_nation'
+        """,
+        "q_kg_validate": """
+            SELECT 'functional' AS "check", 'p:' || l_partkey AS key,
+                   'supplied_by' AS detail,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n
+            FROM lineitem GROUP BY l_partkey
+            HAVING count(DISTINCT l_suppkey) > 1
+            UNION ALL
+            SELECT 'dangling', 'n:' || nk, 'n:', CAST(count(*) AS BIGINT)
+            FROM (
+                SELECT c_nationkey AS nk FROM customer
+                UNION ALL
+                SELECT s_nationkey FROM supplier
+            ) WHERE nk >= 20 GROUP BY nk
+            UNION ALL
+            SELECT 'disjoint', 'n:' || n_nationkey, 'Big|Small',
+                   CAST(1 AS BIGINT)
+            FROM nation WHERE n_nationkey >= 10 AND n_nationkey < 15
+        """,
     }
