@@ -481,7 +481,7 @@ def q_langid(spark, sf_dir):
 
 
 def q_doc_profile(spark, sf_dir):
-    """Doc-grain training-data profile, five operators in one oracled
+    """Doc-grain training-data profile, six operators in one oracled
     surface (registry slot consolidation): quality_stats ratios + both
     tokenizer counts (former q_quality), Gopher-style repetition signals
     (Rae et al. 2021 A1.1: top word-2-gram character coverage + duplicate
@@ -494,7 +494,11 @@ def q_doc_profile(spark, sf_dir):
     mixture-sampling decisions (per-source rates 0.25/2.5/0.0/default-1.0,
     hash-Bernoulli keeps + upsample copy counts — operators/sampling.py;
     mix_u is floored to 6 digits because round() tie rules can differ
-    between engines).  The fixture docs are
+    between engines), and the DSIR importance weights + deterministic
+    Gumbel resampling keys (Xie et al. 2023; operators/importance.py —
+    target = the doc_id%7 slice, raw = the whole corpus, 512 hashed
+    unigram+bigram buckets; the twin re-derives fit AND score).  The
+    fixture docs are
     synthetic word salad with no natural PII, so the PII leg plants
     deterministic doc_id-derived PII (email always; phone iff doc_id%3==0;
     IPv4 iff doc_id%5==0) identically in both engines, exercising hit and
@@ -556,12 +560,31 @@ def q_doc_profile(spark, sf_dir):
         F.floor(F.col("u") * 1000000).cast("long").alias("mix_u"),
         F.col("n_copies").alias("mix_copies"),
     )
+    from tabbyld_spark.operators.importance import (
+        fit_importance_model,
+        importance_weights,
+    )
+
+    # DSIR importance weights (Xie et al. 2023): target = the doc_id%7
+    # slice, raw = the whole corpus; 512 hashed unigram+bigram buckets.
+    # Weights and Gumbel resampling keys rounded to 6 digits (float-sum
+    # order differs between engines).
+    model = fit_importance_model(
+        d.filter(F.col("doc_id") % 7 == 0), d, n_buckets=512
+    )
+    dsir = importance_weights(d, model).select(
+        "doc_id",
+        F.col("n_features").alias("dsir_nfeat"),
+        F.round("log_weight", 6).alias("dsir_logw"),
+        F.round("sample_key", 6).alias("dsir_key"),
+    )
     return (
         q.join(gopher_repetition(d), "doc_id")
         .join(train_split(d), "doc_id")
         .join(pii, "doc_id")
         .join(duplicate_span_profile(d, k=4), "doc_id")
         .join(mix, "doc_id")
+        .join(dsir, "doc_id")
     )
 
 
@@ -1906,6 +1929,60 @@ def oracle_sql() -> dict[str, str]:
                             + CASE WHEN u < mix_rate - floor(mix_rate)
                                    THEN 1 ELSE 0 END AS BIGINT) AS mix_copies
                 FROM mix0
+            ),
+            -- DSIR importance weights (operators/importance.py): hashed
+            -- word unigram+bigram buckets, add-0.5 smoothing over 512
+            -- buckets, target = doc_id%7 slice, raw = whole corpus;
+            -- independent re-derivation of fit AND score
+            dsw AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS ws
+                FROM documents
+            ),
+            dsc AS (
+                SELECT doc_id,
+                       CAST('0x' || substring(md5(g), 1, 8) AS BIGINT)
+                           % 512 AS bucket,
+                       count(*) AS cnt
+                FROM (SELECT doc_id, unnest(list_concat(ws,
+                          list_transform(range(1, len(ws)),
+                                         i -> ws[i] || ' ' || ws[i+1]))) AS g
+                      FROM dsw)
+                GROUP BY 1, 2
+            ),
+            dst AS (
+                SELECT bucket, sum(cnt) AS t_cnt FROM dsc
+                WHERE doc_id % 7 = 0 GROUP BY bucket
+            ),
+            dsr AS (
+                SELECT bucket, sum(cnt) AS r_cnt FROM dsc GROUP BY bucket
+            ),
+            dsm AS (
+                SELECT b.bucket,
+                       ln((coalesce(t.t_cnt, 0) + 0.5)
+                          / ((SELECT coalesce(sum(t_cnt), 0) FROM dst) + 256.0))
+                     - ln((coalesce(r.r_cnt, 0) + 0.5)
+                          / ((SELECT coalesce(sum(r_cnt), 0) FROM dsr) + 256.0))
+                           AS lr
+                FROM (SELECT unnest(range(0, 512)) AS bucket) b
+                LEFT JOIN dst t USING (bucket)
+                LEFT JOIN dsr r USING (bucket)
+            ),
+            dsirw AS (
+                SELECT c.doc_id, sum(c.cnt) AS nf, sum(c.cnt * m.lr) AS lw
+                FROM dsc c JOIN dsm m USING (bucket) GROUP BY c.doc_id
+            ),
+            dsir AS (
+                SELECT d.doc_id,
+                       CAST(coalesce(s.nf, 0) AS BIGINT) AS dsir_nfeat,
+                       round(coalesce(s.lw, 0.0), 6) AS dsir_logw,
+                       round(coalesce(s.lw, 0.0)
+                             - ln(-ln(CAST('0x' || substring(
+                                   md5('dsir:' || CAST(d.doc_id AS VARCHAR)),
+                                   1, 8) AS BIGINT) / 4294967296.0)), 6)
+                           AS dsir_key
+                FROM documents d LEFT JOIN dsirw s USING (doc_id)
             )
             SELECT q.*, rep.top_2gram, rep.top_2gram_count, rep.top_2gram_frac,
                    rep.dup_3gram_frac,
@@ -1913,10 +1990,11 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN sp.bucket < 10 THEN 'val' ELSE 'train' END AS split,
                    pii.n_emails, pii.n_ips, pii.n_phones, pii.pii_scrub_md5,
                    ds.n_dup_windows, ds.n_dup_spans, ds.n_dup_tokens,
-                   mix.mix_rate, mix.mix_u, mix.mix_copies
+                   mix.mix_rate, mix.mix_u, mix.mix_copies,
+                   dsir.dsir_nfeat, dsir.dsir_logw, dsir.dsir_key
             FROM q JOIN rep USING (doc_id) JOIN sp USING (doc_id)
                    JOIN pii USING (doc_id) JOIN ds USING (doc_id)
-                   JOIN mix USING (doc_id)
+                   JOIN mix USING (doc_id) JOIN dsir USING (doc_id)
         """,
         "q_langid": f"""
             WITH toks AS (
