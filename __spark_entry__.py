@@ -70,17 +70,6 @@ def entry(spark: SparkSession) -> DataFrame:
 # relational operator coverage (SURVEY.md §2.2)
 # --------------------------------------------------------------------------
 
-def q_filter_project(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return li.filter(
-        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_discount") > 0.05)
-    ).select(
-        "l_orderkey",
-        "l_linenumber",
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
-    )
-
-
 def q_agg_groupby(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -954,6 +943,37 @@ def _kg_triples(spark, sf_dir):
     return out
 
 
+def q_entity_res(spark, sf_dir):
+    """Blocked entity resolution (operators/entityres.py) — the same_as
+    source the S7 canonicalization merge needs for entities nobody linked
+    together: part records profiled as (entity, name block, 4 attribute
+    hashes), blocks capped at 1000, attribute-set Jaccard >= 0.5 via the
+    inverted-index (block, attr) self-join (never all-pairs).  The twin is
+    an INDEPENDENT formulation: plain block self-join + per-attribute
+    equality sum (i of 4 shared, |union| = 8 - i)."""
+    from tabbyld_spark.operators.entityres import blocked_same_as
+
+    p = _t(spark, sf_dir, "part")
+    profiles = p.select(
+        F.concat(F.lit("p:"), "p_partkey").alias("entity"),
+        F.lower(F.regexp_replace(F.trim("p_name"), r"\s+", " ")).alias("block"),
+        F.array(
+            F.concat(F.lit("br:"), "p_brand"),
+            F.concat(F.lit("ty:"), "p_type"),
+            F.concat(F.lit("sz:"), F.floor(F.col("p_size") / 10).cast("string")),
+            F.concat(
+                F.lit("pr:"),
+                F.floor(F.col("p_retailprice") / 500).cast("long").cast("string"),
+            ),
+        ).alias("attrs"),
+    )
+    # blocked_same_as consumes attribute strings as-is (md5 hashing is
+    # er_profiles' concern), so the twin compares the same raw strings
+    return blocked_same_as(profiles, threshold=0.5, max_block=1000).select(
+        "src", "dst", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def q_kg_pattern(spark, sf_dir):
     """SPARQL-style basic graph pattern over the emitted-triples shape
     (operators/kgquery.py:bgp_match — the read path of the KG the pipeline
@@ -1161,7 +1181,6 @@ def q_owl(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "q_filter_project": q_filter_project,
         "q_agg_groupby": q_agg_groupby,
         "q_join_multi": q_join_multi,
         "q_topk_window": q_topk_window,
@@ -1204,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": q_cosine_topk,
         "q_closure": q_closure,
         "q_connected_components": q_connected_components,
+        "q_entity_res": q_entity_res,
         "q_kg_pattern": q_kg_pattern,
         "q_kg_validate": q_kg_validate,
         "q_minhash_pairs": q_minhash_pairs,
@@ -1573,11 +1593,28 @@ def oracle_sql() -> dict[str, str]:
                    round(ks.n_src_kept * 1.0 / tot.n_src_docs, 6) AS src_keep_rate
             FROM keptsrc JOIN tot USING (source) JOIN ks USING (source)
         """,
-        "q_filter_project": """
-            SELECT l_orderkey, l_linenumber,
-                   round(l_extendedprice * (1 - l_discount), 4) AS net_price
-            FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.05
+        "q_entity_res": """
+            WITH p AS (
+              SELECT 'p:' || p_partkey AS e,
+                     lower(regexp_replace(trim(p_name), '\\s+', ' ', 'g')) AS block,
+                     'br:' || p_brand AS a1, 'ty:' || p_type AS a2,
+                     'sz:' || CAST(p_size // 10 AS VARCHAR) AS a3,
+                     'pr:' || CAST(CAST(floor(p_retailprice / 500) AS BIGINT)
+                                   AS VARCHAR) AS a4
+              FROM part
+            ),
+            sized AS (SELECT block, count(*) AS bn FROM p GROUP BY block),
+            kept AS (
+              SELECT p.* FROM p JOIN sized USING (block) WHERE bn <= 1000
+            ),
+            pairs AS (
+              SELECT a.e AS src, b.e AS dst,
+                     (CAST(a.a1 = b.a1 AS INT) + CAST(a.a2 = b.a2 AS INT)
+                      + CAST(a.a3 = b.a3 AS INT) + CAST(a.a4 = b.a4 AS INT)) AS i
+              FROM kept a JOIN kept b ON a.block = b.block AND a.e < b.e
+            )
+            SELECT src, dst, round(i * 1.0 / (8 - i), 6) AS jaccard
+            FROM pairs WHERE i * 1.0 / (8 - i) >= 0.5
         """,
         "q_agg_groupby": """
             SELECT l_returnflag, l_linestatus,
