@@ -65,6 +65,10 @@ def main() -> None:
         "q_ann_lsh",
         "q_ann_ivf",
         "q_connected_components",
+        "q_kg_pattern",
+        "q_kg_validate",
+        "q_entity_res",
+        "q_dsir",
         "q_webprep",
     ]
     registry = E.queries()
@@ -152,7 +156,23 @@ def main() -> None:
             spark.read.parquet(f"{sf_dir}/documents.parquet"), k=8
         )
 
+    def _dsir_workload(spark, sf_dir):
+        # DSIR fit (target = doc_id%7 slice) + full-corpus scoring,
+        # standalone at the production bucket width (registry entry folded
+        # into q_doc_profile at 512 buckets)
+        from pyspark.sql import functions as F
+
+        from tabbyld_spark.operators.importance import (
+            fit_importance_model,
+            importance_weights,
+        )
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        m = fit_importance_model(d.filter(F.col("doc_id") % 7 == 0), d)
+        return importance_weights(d, m)
+
     workloads = dict(registry)
+    workloads["q_dsir"] = _dsir_workload
     workloads["q_ann_lsh"] = _ann_lsh_workload
     workloads["q_ann_ivf"] = _ann_ivf_workload
     workloads["q_ngram_jaccard"] = _ngram_jaccard_workload
