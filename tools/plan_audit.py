@@ -39,18 +39,71 @@ def run_audit(spark, sf: str = "/root/testdata/sf0.01") -> list[tuple[str, bool,
     def check(name: str, ok: bool, evidence: str) -> None:
         results.append((name, bool(ok), evidence))
 
-    # 1. predicate pushdown + column pruning on the parquet scan
-    p = plan_of(E.q_filter_project(spark, sf))
+    # 1. predicate pushdown + column pruning on the parquet scan (the
+    # retired q_filter_project's exact shape, audited directly)
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    fp = li.filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_discount") > 0.05)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "net_price"
+        ),
+    )
+    p = plan_of(fp)
     check(
-        "pushdown/q_filter_project",
+        "pushdown/filter_project",
         "PushedFilters: [" in p and "IsNotNull" in p.split("PushedFilters:")[1][:200],
         "PushedFilters present",
     )
     read_schema = p.split("ReadSchema:")[1].split("\n")[0] if "ReadSchema:" in p else ""
     check(
-        "pruning/q_filter_project",
+        "pruning/filter_project",
         "l_comment" not in read_schema and "l_orderkey" in read_schema,
         f"ReadSchema={read_schema.strip()[:120]}",
+    )
+
+    # 1b. BGP pattern constants reach the triples scan as pushed filters,
+    # and the selective in_region pattern side broadcasts (AQE or static)
+    p = plan_of(E.q_kg_pattern(spark, sf))
+    check(
+        "pushdown/q_kg_pattern",
+        p.count("PushedFilters: [") >= 1
+        and ("EqualTo(pred," in p or "isnotnull" in p.lower()),
+        "pattern constants in scan filters",
+    )
+
+    # 1c. entity-res pair dedup/scoring stays at id grain: the inverted-index
+    # join carries (block, attr, entity) — attribute ARRAYS never ride the
+    # pair-grain exchange
+    p = plan_of(E.q_entity_res(spark, sf))
+    check(
+        "shape/q_entity_res",
+        "attrs" not in p.split("Exchange hashpartitioning(src")[-1][:400]
+        if "Exchange hashpartitioning(src" in p
+        else True,
+        "pair exchanges carry ids, not attr arrays",
+    )
+
+    # 1d. DSIR scoring joins the bucket model as a broadcast (never a
+    # shuffled join against the tiny dense bucket table)
+    from tabbyld_spark.operators.importance import (
+        fit_importance_model,
+        importance_weights,
+    )
+
+    docs_df = spark.read.parquet(f"{sf}/documents.parquet")
+    model = fit_importance_model(
+        docs_df.filter(F.col("doc_id") % 7 == 0), docs_df, n_buckets=512
+    )
+    p = plan_of(importance_weights(docs_df, model))
+    check(
+        "broadcast/dsir_score",
+        "BroadcastHashJoin" in p,
+        f"{p.count('BroadcastHashJoin')} broadcast joins in scoring plan",
     )
 
     # 2. dimension joins broadcast (at sf0.01 even orders/customer fit under
