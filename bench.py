@@ -69,6 +69,7 @@ def main() -> None:
         "q_kg_validate",
         "q_entity_res",
         "q_dsir",
+        "q_bpe",
         "q_webprep",
     ]
     registry = E.queries()
@@ -171,8 +172,17 @@ def main() -> None:
         m = fit_importance_model(d.filter(F.col("doc_id") % 7 == 0), d)
         return importance_weights(d, m)
 
+    def _bpe_workload(spark, sf_dir):
+        # BPE train (12 merges at word-type grain) + corpus re-segmentation
+        from tabbyld_spark.operators.bpe import apply_bpe, train_bpe
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        merges = train_bpe(d, n_merges=12)
+        return apply_bpe(d, merges).select("doc_id", "n_tokens")
+
     workloads = dict(registry)
     workloads["q_dsir"] = _dsir_workload
+    workloads["q_bpe"] = _bpe_workload
     workloads["q_ann_lsh"] = _ann_lsh_workload
     workloads["q_ann_ivf"] = _ann_ivf_workload
     workloads["q_ngram_jaccard"] = _ngram_jaccard_workload

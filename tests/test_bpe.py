@@ -1,0 +1,141 @@
+"""BPE training/encoding (operators/bpe.py) pinned against an independent
+pure-Python reference implementation (the repo's contract for iterative
+ops SQL can't express): exact merge-sequence equality and exact
+segmentation equality, plus determinism under re-sharding."""
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from tabbyld_spark.operators.bpe import (
+    END_OF_WORD,
+    apply_bpe,
+    train_bpe,
+    word_freqs,
+)
+
+# ---------------------------------------------------------------- reference
+
+
+def _ref_words(texts):
+    c = Counter()
+    for t in texts:
+        c.update(re.findall(r"[a-z0-9]+", (t or "").lower()))
+    return c
+
+
+def _ref_pairs(symtab):
+    pc = Counter()
+    for syms, freq in symtab:
+        for a, b in zip(syms, syms[1:]):
+            pc[(a, b)] += freq
+    return pc
+
+
+def _ref_merge(syms, left, right):
+    out = []
+    for x in syms:
+        if out and out[-1] == left and x == right:
+            out[-1] = left + right
+        else:
+            out.append(x)
+    return out
+
+
+def _ref_train(texts, n_merges, min_pair_count=2):
+    symtab = [
+        (list(w) + [END_OF_WORD], f) for w, f in sorted(_ref_words(texts).items())
+    ]
+    merges = []
+    for _ in range(n_merges):
+        pc = _ref_pairs(symtab)
+        if not pc:
+            break
+        # count DESC, pair ASC — the operator's deterministic tiebreak
+        (left, right), count = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if count < min_pair_count:
+            break
+        merges.append((left, right, count))
+        symtab = [(_ref_merge(s, left, right), f) for s, f in symtab]
+    return merges
+
+
+def _ref_encode(text, merges):
+    toks = []
+    for w in re.findall(r"[a-z0-9]+", (text or "").lower()):
+        syms = list(w) + [END_OF_WORD]
+        for left, right, *_ in merges:
+            syms = _ref_merge(syms, left, right)
+        toks.extend(syms)
+    return toks
+
+
+CORPUS = [
+    "the lower the newer the lowest",
+    "new newer newest lower lowest low",
+    "the new low new low the the",
+    "wider wide widest lower",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        list(enumerate(CORPUS)), "doc_id long, text string"
+    )
+
+
+def test_word_freqs_match_reference(docs):
+    got = {r.word: r.freq for r in word_freqs(docs).collect()}
+    assert got == dict(_ref_words(CORPUS))
+
+
+def test_merge_sequence_matches_reference_exactly(docs):
+    got = train_bpe(docs, n_merges=12)
+    want = _ref_train(CORPUS, n_merges=12)
+    assert got == want
+    assert len(got) >= 8  # the corpus genuinely supports this many merges
+
+
+def test_early_stop_below_min_pair_count(spark):
+    d = spark.createDataFrame([(0, "ab cd ef")], "doc_id long, text string")
+    # every pair occurs once ⇒ nothing reaches min_pair_count=2
+    assert train_bpe(d, n_merges=5) == []
+
+
+def test_segmentation_matches_reference(docs):
+    merges = train_bpe(docs, n_merges=10)
+    got = {r.doc_id: (r.tokens, r.n_tokens) for r in apply_bpe(docs, merges).collect()}
+    for i, text in enumerate(CORPUS):
+        want = _ref_encode(text, merges)
+        assert got[i][0] == want, f"doc {i}"
+        assert got[i][1] == len(want)
+
+
+def test_lossless_roundtrip(docs):
+    merges = train_bpe(docs, n_merges=10)
+    enc = apply_bpe(docs, merges)
+    back = enc.select(
+        "doc_id",
+        F.array_join(F.col("tokens"), "").alias("joined"),
+    ).collect()
+    for r in back:
+        words = "".join(re.findall(r"[a-z0-9]+", CORPUS[r.doc_id].lower()))
+        assert r.joined.replace(END_OF_WORD, "") == words
+
+
+def test_training_deterministic_under_resharding(docs):
+    a = train_bpe(docs, n_merges=8)
+    b = train_bpe(docs.repartition(7), n_merges=8)
+    assert a == b
+
+
+def test_empty_and_null_docs(spark):
+    d = spark.createDataFrame(
+        [(0, "aa aa bb"), (1, ""), (2, None)], "doc_id long, text string"
+    )
+    merges = train_bpe(d, n_merges=3, min_pair_count=2)
+    out = {r.doc_id: r.n_tokens for r in apply_bpe(d, merges).collect()}
+    assert out[1] == 0 and out[2] == 0 and out[0] > 0
