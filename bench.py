@@ -70,6 +70,7 @@ def main() -> None:
         "q_entity_res",
         "q_dsir",
         "q_bpe",
+        "q_walks",
         "q_webprep",
     ]
     registry = E.queries()
@@ -180,9 +181,29 @@ def main() -> None:
         merges = train_bpe(d, n_merges=12)
         return apply_bpe(d, merges).select("doc_id", "n_tokens")
 
+    def _walks_workload(spark, sf_dir):
+        # deterministic walk corpus over the same synthetic host graph the
+        # graph entry uses (23 hosts, doc-grain edge derivation)
+        from pyspark.sql import functions as F
+
+        from tabbyld_spark.operators.walks import random_walks
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        edges = d.select(
+            (F.col("doc_id") % 23).cast("string").alias("src"),
+            ((F.col("doc_id") * 7 + 3) % 23).cast("string").alias("dst"),
+        ).unionByName(
+            d.select(
+                (F.col("doc_id") % 23).cast("string").alias("src"),
+                ((F.col("doc_id") * 11 + 5) % 23).cast("string").alias("dst"),
+            )
+        )
+        return random_walks(edges, walk_len=8, walks_per_node=4)
+
     workloads = dict(registry)
     workloads["q_dsir"] = _dsir_workload
     workloads["q_bpe"] = _bpe_workload
+    workloads["q_walks"] = _walks_workload
     workloads["q_ann_lsh"] = _ann_lsh_workload
     workloads["q_ann_ivf"] = _ann_ivf_workload
     workloads["q_ngram_jaccard"] = _ngram_jaccard_workload

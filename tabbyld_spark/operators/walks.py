@@ -1,0 +1,121 @@
+"""Deterministic random walks over the KG/crawl graph — embedding corpus prep.
+
+DeepWalk (Perozzi et al. 2014) / node2vec (Grover & Leskovec 2016) train
+node embeddings on a corpus of short random walks.  At web scale the walk
+generator — not the embedding trainer — is the distributed job, and it has
+the same determinism obligation as every sampler here: a task retry or a
+re-shard must regenerate the IDENTICAL corpus, so the "random" next hop is
+a pure function of (seed, walk_id, step, current node), via the same
+md5-uniform trick as ``sampling.hash_uniform``.
+
+Shapes:
+
+* adjacency (:func:`adjacency`): one (src)-grain aggregate to a SORTED
+  neighbor array (sorting makes index selection order-independent), with
+  hub truncation at ``max_deg`` — a 10^6-degree hub would otherwise carry
+  its full array through every step join; truncation keeps the
+  deterministic lexicographic prefix and is the standard skew guard for
+  walk generators.
+* stepping (:func:`random_walks`): ``walk_len`` chained equi-joins of the
+  walk frontier against the adjacency table, each keyed on the current
+  node — the natural pregel-like shape; every join reuses the adjacency
+  partitioning, and walks that reach a sink (no out-edges) terminate
+  early.  Lineage cut every few steps (chained-join plan depth).
+* output: (walk_id, step, node) rows — the skip-gram window generator
+  downstream is one explode away; ``walk_paths`` returns the compact
+  array form instead.
+
+Verification: iterative + data-dependent ⇒ pinned against an independent
+pure-Python reference (``tests/test_walks.py``) per the repo's contract
+for ops SQL can't reasonably express; determinism proven under
+``repartition``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tabbyld_spark.functions.lineage import cut
+from tabbyld_spark.operators.sampling import hash_uniform
+
+__all__ = ["adjacency", "random_walks", "walk_paths"]
+
+
+def adjacency(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_deg: int = 10_000
+) -> DataFrame:
+    """(src, dst) edges → (node, nbrs) with nbrs sorted and truncated to
+    the lexicographic ``max_deg`` prefix (hub skew guard)."""
+    return (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .distinct()
+        .groupBy("node")
+        .agg(F.slice(F.array_sort(F.collect_list("nbr")), 1, max_deg).alias("nbrs"))
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    walks_per_node: int = 1,
+    seed: str = "walk",
+    max_deg: int = 10_000,
+    cut_every: int = 4,
+) -> DataFrame:
+    """→ (walk_id, step, node): ``walks_per_node`` deterministic walks of
+    up to ``walk_len`` hops from every node with out-edges.  Next hop at
+    step t of walk w standing on node u is
+    ``nbrs(u)[ floor(hash_uniform(seed:w:t:u) * |nbrs(u)|) ]`` — a pure
+    function of the inputs, so the corpus is identical under retries,
+    re-shards, and re-runs.  Sink nodes end their walk early (rows stop)."""
+    adj = cut(adjacency(edges, max_deg=max_deg))
+    frontier = adj.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(int(walks_per_node) - 1)),
+                lambda k: F.concat_ws("#", F.col("node"), k.cast("string")),
+            )
+        ).alias("walk_id"),
+        F.col("node"),
+    )
+    out = frontier.select("walk_id", F.lit(0).alias("step"), "node")
+    steps = [out]
+    for t in range(1, int(walk_len) + 1):
+        u = hash_uniform(
+            F.concat_ws(":", F.col("walk_id"), F.lit(str(t)), F.col("node")),
+            seed=seed,
+        )
+        nxt = (
+            out.join(adj, "node")
+            .select(
+                "walk_id",
+                F.lit(t).alias("step"),
+                F.element_at(
+                    "nbrs",
+                    (F.floor(u * F.size("nbrs")) + 1).cast("int"),
+                ).alias("node"),
+            )
+        )
+        if t % cut_every == 0:
+            nxt = cut(nxt)
+        steps.append(nxt)
+        out = nxt
+    result = steps[0]
+    for s in steps[1:]:
+        result = result.unionByName(s)
+    return result
+
+
+def walk_paths(walks: DataFrame) -> DataFrame:
+    """(walk_id, step, node) rows → (walk_id, path) arrays in step order —
+    one walk-grain aggregate (sort_array over (step, node) structs keeps
+    the order shuffle-safe)."""
+    return walks.groupBy("walk_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("step"), F.col("node")))
+            ),
+            lambda s: s["node"],
+        ).alias("path")
+    )
