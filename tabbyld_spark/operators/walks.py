@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from tabbyld_spark.functions.lineage import cut
 from tabbyld_spark.operators.sampling import hash_uniform
 
-__all__ = ["adjacency", "random_walks", "walk_paths"]
+__all__ = ["adjacency", "random_walks", "walk_paths", "skipgram_pairs"]
 
 
 def adjacency(
@@ -105,6 +105,26 @@ def random_walks(
     for s in steps[1:]:
         result = result.unionByName(s)
     return result
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(walk_id, step, node) → (center, context, n) skip-gram training
+    pairs within ±``window`` steps of the same walk — the word2vec-style
+    corpus the embedding trainer consumes.  One self-join keyed on walk_id
+    with the bounded step-distance predicate (each walk is ≤ walk_len rows,
+    so the join blowup is ≤ 2·window per row), then a (center, context)
+    count whose map-side combine collapses the pair multiset."""
+    a = walks.select("walk_id", F.col("step").alias("i"), F.col("node").alias("center"))
+    b = walks.select("walk_id", F.col("step").alias("j"), F.col("node").alias("context"))
+    return (
+        a.join(b, "walk_id")
+        .filter(
+            (F.col("i") != F.col("j"))
+            & (F.abs(F.col("i") - F.col("j")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def walk_paths(walks: DataFrame) -> DataFrame:

@@ -86,6 +86,24 @@ def test_deterministic_under_resharding_and_seed(edges_df):
     assert a != c  # different seed ⇒ different corpus (same row universe roots)
 
 
+def test_skipgram_pairs_match_reference(edges_df):
+    from tabbyld_spark.operators.walks import skipgram_pairs
+
+    walks = random_walks(edges_df, walk_len=4, walks_per_node=2)
+    got = {(r.center, r.context): r.n for r in skipgram_pairs(walks, window=2).collect()}
+    want = defaultdict(int)
+    by_walk = defaultdict(list)
+    for wid, t, n in _ref_walks(EDGES, walk_len=4, walks_per_node=2):
+        by_walk[wid].append((t, n))
+    for seq in by_walk.values():
+        seq.sort()
+        for i, (ti, ni) in enumerate(seq):
+            for tj, nj in seq:
+                if ti != tj and abs(ti - tj) <= 2:
+                    want[(ni, nj)] += 1
+    assert got == dict(want)
+
+
 def test_walk_paths_ordered(edges_df):
     paths = {
         r.walk_id: r.path
