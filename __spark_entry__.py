@@ -117,13 +117,30 @@ def q_semi_join(spark, sf_dir):
     )
 
 
-def q_conditional_agg(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)).alias("n_big"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+def q_sessions(spark, sf_dir):
+    """Gap-based sessionization over the events stream
+    (operators/sessions.py — Spark's native session_window, one user-grain
+    shuffle, unchanged under readStream): 24h-silence sessions per user
+    with observed bounds, event count, value sum and a conditional
+    big-event count (the conditional-sum primitive, previously
+    q_conditional_agg — also live in the q_gold_* evaluation metrics).
+    The twin is the OTHER classic formulation — gaps-and-islands over
+    lag() — so the engines cross-check different algorithms."""
+    from tabbyld_spark.operators.sessions import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    s = sessionize(
+        e,
+        gap="24 hours",
+        value_col=None,
+        extra_aggs=[
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum(F.when(F.col("value") > 100, 1).otherwise(0))
+            .cast("long")
+            .alias("n_big"),
+        ],
     )
+    return s
 
 
 def q_argmax(spark, sf_dir):
@@ -1185,7 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_multi": q_join_multi,
         "q_topk_window": q_topk_window,
         "q_semi_join": q_semi_join,
-        "q_conditional_agg": q_conditional_agg,
+        "q_sessions": q_sessions,
         "q_argmax": q_argmax,
         "q_events_daily": q_events_daily,
         "q_normalize": q_normalize,
@@ -1649,12 +1666,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey, p_name FROM part
             WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
         """,
-        "q_conditional_agg": """
-            SELECT o_orderpriority,
-                   count(*) AS n_orders,
-                   CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
-                   round(avg(o_totalprice), 4) AS avg_price
-            FROM orders GROUP BY o_orderpriority
+        "q_sessions": """
+            WITH o AS (
+                SELECT user_id, ts, value,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            ),
+            marked AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN prev_ts IS NULL
+                                 OR epoch(ts - prev_ts) > 86400
+                            THEN 1 ELSE 0 END AS brk
+                FROM o
+            ),
+            islands AS (
+                SELECT user_id, ts, value,
+                       sum(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+                FROM marked
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_big
+            FROM islands GROUP BY user_id, sess
         """,
         "q_argmax": """
             SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
