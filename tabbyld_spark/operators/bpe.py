@@ -32,11 +32,16 @@ independent pure-Python reference implementation in ``tests/test_bpe.py``
 twin; the per-round pair-count aggregation itself is trivially the same
 shape the twinned n-gram operators already prove out.
 
-``apply_bpe`` replays the merge list in rank order (N chained folds).
-That is the right shape for bounded merge counts (the common "train a
-small domain tokenizer" case); a production 50k-merge encode would hop to
-an Arrow ``mapInPandas`` greedy encoder against the broadcast merge ranks
-— the documented Python seam, same pattern as ``multimodal.py``.
+``apply_bpe`` replays the merge list in rank order ONCE PER DISTINCT WORD
+(a word's segmentation depends only on the word — the same word-type trick
+as training; the folds are interpreted HOFs, so paying them per occurrence
+is the difference between seconds and hours at corpus scale), then maps
+occurrences through the encoded vocabulary: a single broadcast MAP value
+for bounded vocabularies (zero corpus shuffle), or posexplode + vocab
+equi-join + positional reassembly beyond that.  A production 50k-merge
+encode would still hop to an Arrow ``mapInPandas`` greedy encoder against
+broadcast merge ranks — the documented Python seam, same pattern as
+``multimodal.py``.
 """
 
 from __future__ import annotations
@@ -113,18 +118,67 @@ def _fuse(syms: Column, left: str, right: str) -> Column:
     )
 
 
+def _train_driver_side(
+    wf: list[tuple[str, int]], n_merges: int, min_pair_count: int
+) -> list[tuple[str, str, int]]:
+    """The same algorithm on a collected (word, freq) table — used when the
+    vocabulary fits the driver (see train_bpe).  Deterministic tiebreak
+    identical to the distributed rounds."""
+    symtab = [(list(w) + [END_OF_WORD], f) for w, f in wf]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(int(n_merges)):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in symtab:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (left, right), count = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if count < min_pair_count:
+            break
+        merges.append((left, right, count))
+        new: list[tuple[list[str], int]] = []
+        for syms, f in symtab:
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            new.append((out, f))
+        symtab = new
+    return merges
+
+
 def train_bpe(
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",
     min_pair_count: int = 2,
     cut_every: int = 4,
+    driver_vocab_max: int = 200_000,
 ) -> list[tuple[str, str, int]]:
     """Train ``n_merges`` BPE merges → [(left, right, count)] in rank
     order.  Stops early when no pair reaches ``min_pair_count``.  The merge
-    list is deterministic (count DESC, pair ASC tiebreak) and bounded —
-    one 1-row collect per round against the word-TYPE table."""
-    symtab = cut(_initial_symbols(word_freqs(docs, text_col)))
+    list is deterministic (count DESC, pair ASC tiebreak) either way.
+
+    Count-gated hybrid (the ``count_gated_hint`` pattern): the word-type
+    table is vocabulary-sized, so when its EXACT row count is at most
+    ``driver_vocab_max`` the merge loop runs driver-side on the collected
+    table — same algorithm, same tiebreak, identical output — instead of
+    paying ~2 Spark jobs per round for a few-thousand-row frame.  A true
+    web-scale vocabulary (tens of millions of types) exceeds the gate and
+    takes the distributed rounds, where each round is one map-side-combined
+    pair count + a 1-row TakeOrdered collect."""
+    wf_df = word_freqs(docs, text_col)
+    wf_df = cut(wf_df)
+    n_types = wf_df.count()
+    if n_types <= int(driver_vocab_max):
+        wf = sorted((r["word"], int(r["freq"])) for r in wf_df.collect())
+        return _train_driver_side(wf, n_merges, min_pair_count)
+    symtab = cut(_initial_symbols(wf_df))
     merges: list[tuple[str, str, int]] = []
     for rnd in range(int(n_merges)):
         top = (
@@ -148,19 +202,72 @@ def apply_bpe(
     merges: list[tuple[str, str, int]] | list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    map_vocab_max: int = 100_000,
 ) -> DataFrame:
     """→ (doc_id, tokens, n_tokens): segment every document with the
-    trained merges, replayed in rank order (N chained folds — see module
-    docstring for the large-N seam).  Tokens from different words never
-    fuse: each word carries its own end-of-word marker."""
+    trained merges.  Tokens from different words never fuse: each word
+    carries its own end-of-word marker.
+
+    A word's segmentation depends only on the word, so the N-fold merge
+    replay runs ONCE PER DISTINCT WORD (vocabulary grain — the same
+    word-type trick as training; higher-order-function folds are
+    interpreted, so paying them per occurrence is the difference between
+    seconds and hours at corpus scale).  Occurrences then map through the
+    encoded vocabulary:
+
+    * vocab ≤ ``map_vocab_max``: the word→tokens table collapses into a
+      single broadcast MAP value and every doc is one zero-shuffle
+      projection (``element_at`` per word + flatten).
+    * larger vocab: posexplode occurrences, equi-join the encoded
+      vocabulary (Catalyst broadcasts it while it fits), reassemble in
+      position order — one doc-grain shuffle, never a per-occurrence fold.
+    """
+
     def _encode_word(w: Column) -> Column:
         syms = F.concat(F.split(w, ""), F.array(F.lit(END_OF_WORD)))
         for m in merges:
             syms = _fuse(syms, m[0], m[1])
         return syms
 
-    tokens = F.flatten(F.transform(_words(text_col), _encode_word))
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        tokens.alias("tokens"),
-    ).withColumn("n_tokens", F.size("tokens"))
+    base = docs.select(F.col(id_col).alias("doc_id"), _words(text_col).alias("ws"))
+    vocab = base.select(F.explode("ws").alias("word")).distinct()
+    enc = vocab.select("word", _encode_word(F.col("word")).alias("toks"))
+    n_vocab = enc.count()
+    if n_vocab <= int(map_vocab_max):
+        vocab_map = enc.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("word"), F.col("toks")))
+            ).alias("m")
+        )
+        return (
+            base.crossJoin(F.broadcast(vocab_map))
+            .select(
+                "doc_id",
+                F.flatten(
+                    F.transform("ws", lambda w: F.element_at(F.col("m"), w))
+                ).alias("tokens"),
+            )
+            .withColumn("n_tokens", F.size("tokens"))
+        )
+    occ = base.select("doc_id", F.posexplode("ws").alias("pos", "word"))
+    rebuilt = (
+        occ.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                    lambda s: s["toks"],
+                )
+            ).alias("tokens")
+        )
+    )
+    return (
+        base.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("tokens", F.array().cast("array<string>")).alias("tokens"),
+        )
+        .withColumn("n_tokens", F.size("tokens"))
+    )

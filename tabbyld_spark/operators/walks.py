@@ -39,7 +39,13 @@ from pyspark.sql import functions as F
 from tabbyld_spark.functions.lineage import cut
 from tabbyld_spark.operators.sampling import hash_uniform
 
-__all__ = ["adjacency", "random_walks", "walk_paths", "skipgram_pairs"]
+__all__ = [
+    "adjacency",
+    "random_walks",
+    "node2vec_walks",
+    "walk_paths",
+    "skipgram_pairs",
+]
 
 
 def adjacency(
@@ -104,6 +110,104 @@ def random_walks(
     result = steps[0]
     for s in steps[1:]:
         result = result.unionByName(s)
+    return result
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    walks_per_node: int = 1,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: str = "n2v",
+    max_deg: int = 10_000,
+    cut_every: int = 4,
+) -> DataFrame:
+    """→ (walk_id, step, node): node2vec second-order biased walks with
+    return parameter ``p`` and in-out parameter ``q`` (Grover & Leskovec
+    2016) — deterministic like :func:`random_walks`.
+
+    Standing on v having arrived from t, neighbor x of v is weighted
+    1/p if x == t (return), 1 if x is adjacent to t (BFS-ish), 1/q
+    otherwise (DFS-ish); the hop is inverse-CDF selection at
+    ``u = hash_uniform(seed:walk:step:v)`` over the weight prefix sums —
+    all in-expression (two O(deg) array folds per step), no Python.
+    The frontier joins adjacency TWICE per step (current node's neighbor
+    list + previous node's, for the distance test) — both equi-joins
+    against the same cut adjacency table; p = q = 1 degenerates to
+    first-order DeepWalk weights (but a distinct hash stream, so corpora
+    are not comparable row-for-row across the two functions)."""
+    adj = cut(adjacency(edges, max_deg=max_deg))
+    frontier = adj.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(int(walks_per_node) - 1)),
+                lambda k: F.concat_ws("#", F.col("node"), k.cast("string")),
+            )
+        ).alias("walk_id"),
+        F.col("node"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+    out = frontier
+    rows = [out.select("walk_id", F.lit(0).alias("step"), "node")]
+    inv_p, inv_q = F.lit(1.0 / float(p)), F.lit(1.0 / float(q))
+    for t in range(1, int(walk_len) + 1):
+        u = hash_uniform(
+            F.concat_ws(":", F.col("walk_id"), F.lit(str(t)), F.col("node")),
+            seed=seed,
+        )
+        prev_adj = adj.select(
+            F.col("node").alias("prev"), F.col("nbrs").alias("prev_nbrs")
+        )
+        stepped = (
+            out.join(adj, "node")
+            .join(prev_adj, "prev", "left")
+            .withColumn(
+                "_w",
+                F.transform(
+                    "nbrs",
+                    lambda x: F.when(x == F.col("prev"), inv_p)
+                    .when(
+                        F.coalesce(
+                            F.array_contains(F.col("prev_nbrs"), x), F.lit(False)
+                        ),
+                        F.lit(1.0),
+                    )
+                    .otherwise(F.when(F.col("prev").isNull(), F.lit(1.0)).otherwise(inv_q)),
+                ),
+            )
+            .withColumn(
+                "_cum",
+                F.aggregate(
+                    "_w",
+                    F.array().cast("array<double>"),
+                    lambda acc, x: F.concat(
+                        acc,
+                        F.array(F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0.0)) + x),
+                    ),
+                ),
+            )
+        )
+        target = u * F.element_at("_cum", -1)
+        idx = (
+            F.size(F.filter("_cum", lambda c: c < target)) + 1
+        ).cast("int")
+        nxt = stepped.select(
+            "walk_id",
+            F.element_at("nbrs", idx).alias("next_node"),
+            F.col("node").alias("prev_node"),
+        ).select(
+            "walk_id",
+            F.col("next_node").alias("node"),
+            F.col("prev_node").alias("prev"),
+        )
+        if t % cut_every == 0:
+            nxt = cut(nxt)
+        rows.append(nxt.select("walk_id", F.lit(t).alias("step"), "node"))
+        out = nxt
+    result = rows[0]
+    for r in rows[1:]:
+        result = result.unionByName(r)
     return result
 
 

@@ -132,6 +132,36 @@ def test_training_deterministic_under_resharding(docs):
     assert a == b
 
 
+def test_encode_map_and_join_paths_identical(docs):
+    # map_vocab_max=0 forces the posexplode+join reassembly path; both
+    # encode strategies must produce identical segmentations, including
+    # the empty-doc zero-fill
+    merges = train_bpe(docs, n_merges=10)
+    spark = docs.sparkSession
+    with_empty = docs.unionByName(
+        spark.createDataFrame([(99, ""), (100, None)], "doc_id long, text string")
+    )
+    a = sorted(
+        (r.doc_id, tuple(r.tokens), r.n_tokens)
+        for r in apply_bpe(with_empty, merges).collect()
+    )
+    b = sorted(
+        (r.doc_id, tuple(r.tokens), r.n_tokens)
+        for r in apply_bpe(with_empty, merges, map_vocab_max=0).collect()
+    )
+    assert a == b
+    assert (99, (), 0) in a and (100, (), 0) in a
+
+
+def test_driver_and_distributed_paths_identical(docs):
+    # driver_vocab_max=0 forces the distributed rounds; both paths must
+    # train the identical merge sequence (the count-gate is an execution
+    # strategy, never a semantics change)
+    fast = train_bpe(docs, n_merges=10)
+    dist = train_bpe(docs, n_merges=10, driver_vocab_max=0)
+    assert fast == dist == _ref_train(CORPUS, n_merges=10)
+
+
 def test_empty_and_null_docs(spark):
     d = spark.createDataFrame(
         [(0, "aa aa bb"), (1, ""), (2, None)], "doc_id long, text string"

@@ -104,6 +104,59 @@ def test_skipgram_pairs_match_reference(edges_df):
     assert got == dict(want)
 
 
+def _ref_node2vec(edges, walk_len, walks_per_node, p, q, seed="n2v", max_deg=10_000):
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+    adj = {n: sorted(v)[:max_deg] for n, v in adj.items()}
+    rows = []
+    for n in adj:
+        for k in range(walks_per_node):
+            wid = f"{n}#{k}"
+            prev, cur = None, n
+            rows.append((wid, 0, cur))
+            for t in range(1, walk_len + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                if prev is None:
+                    w = [1.0] * len(nbrs)
+                else:
+                    pn = set(adj.get(prev, []))
+                    w = [
+                        1.0 / p if x == prev else (1.0 if x in pn else 1.0 / q)
+                        for x in nbrs
+                    ]
+                cum, acc = [], 0.0
+                for x in w:
+                    acc += x
+                    cum.append(acc)
+                target = _u(seed, wid, t, cur) * cum[-1]
+                idx = sum(1 for c in cum if c < target)
+                prev, cur = cur, nbrs[idx]
+                rows.append((wid, t, cur))
+    return sorted(rows)
+
+
+def test_node2vec_matches_reference_and_biases_walks(edges_df):
+    from tabbyld_spark.operators.walks import node2vec_walks
+
+    for p, q in ((1.0, 1.0), (0.25, 4.0), (4.0, 0.25)):
+        got = sorted(
+            map(
+                tuple,
+                node2vec_walks(
+                    edges_df, walk_len=5, walks_per_node=2, p=p, q=q
+                ).collect(),
+            )
+        )
+        assert got == _ref_node2vec(EDGES, 5, 2, p, q), (p, q)
+    # the bias must actually change the corpus
+    a = sorted(map(tuple, node2vec_walks(edges_df, walk_len=5, p=0.1, q=10.0).collect()))
+    b = sorted(map(tuple, node2vec_walks(edges_df, walk_len=5, p=10.0, q=0.1).collect()))
+    assert a != b
+
+
 def test_walk_paths_ordered(edges_df):
     paths = {
         r.walk_id: r.path
