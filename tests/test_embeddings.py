@@ -127,6 +127,35 @@ def test_spectral_deterministic_under_resharding(spark, pairs_df):
         assert np.allclose(a[n], b[n], atol=1e-9)
 
 
+def test_semantic_er_composition(spark):
+    """Embedding-based entity resolution: triples whose (subj→obj) edges
+    embed two structurally-identical entities close together → the existing
+    embedding near-dup operator surfaces them as a same_as candidate pair.
+    This is the semantic complement to entityres.blocked_same_as (which
+    needs literal attribute agreement)."""
+    from tabbyld_spark.operators.dedup import embedding_dedup_pairs
+
+    rows = []
+    # e1 and e2 are perfect structural twins (same neighbors); e3 differs
+    for e in ("e1", "e2"):
+        rows += [(e, "p", "rome"), (e, "p", "tools"), ("hub", "q", e)]
+    rows += [("e3", "p", "lima"), ("e3", "p", "food"), ("hub2", "q", "e3")]
+    tri = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    edges = tri.select(
+        F.col("subj").alias("center"), F.col("obj").alias("context"),
+        F.lit(1).alias("n"),
+    )
+    emb = spectral_embedding(ppmi_matrix(edges), dim=2, n_iters=10).select(
+        F.col("node").alias("vec_id"), F.col("vec").alias("embedding")
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_dedup_pairs(emb, threshold=0.999).collect()
+    }
+    assert ("e1", "e2") in pairs
+    assert not any("e3" in pair for pair in pairs)
+
+
 def test_walks_to_embedding_chain(spark):
     """The full chain: edges → walks → skip-gram pairs → PPMI → embedding."""
     from tabbyld_spark.operators.walks import random_walks, skipgram_pairs
