@@ -143,20 +143,6 @@ def q_sessions(spark, sf_dir):
     return s
 
 
-def q_argmax(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return (
-        c.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("c_nationkey").cast("long").alias("nationkey"),
-            F.col("c_custkey").alias("top_custkey"),
-            "c_acctbal",
-        )
-    )
-
-
 def q_events_daily(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return e.groupBy(
@@ -960,6 +946,73 @@ def _kg_triples(spark, sf_dir):
     return out
 
 
+def q_rdfs_entail(spark, sf_dir):
+    """RDFS entailment materialization (operators/entailment.py — the ρdf
+    forward-chaining pass a KG build runs before publishing; the reference
+    defers the same inference to DBpedia's endpoint at query time,
+    commands/SpreadsheetController.php:242-246): customer/supplier/nation
+    triples + a literal ontology with a depth-2 subPropertyOf chain
+    (cust_nation ⊑ located_in ⊑ related_to), domain/range declarations,
+    and a subClassOf hierarchy (Customer/Supplier ⊑ Agent ⊑ Thing,
+    Nation/Region ⊑ Place ⊑ Thing).  Output = DERIVED triples only.  The
+    twin re-derives every rule with recursive CTEs over the same VALUES
+    ontology."""
+    from tabbyld_spark.operators.entailment import rdfs_entailment
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c:"), "c_custkey").alias("subj"),
+        F.lit("cust_nation").alias("pred"),
+        F.concat(F.lit("n:"), "c_nationkey").alias("obj"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("s:"), "s_suppkey").alias("subj"),
+        F.lit("supp_nation").alias("pred"),
+        F.concat(F.lit("n:"), "s_nationkey").alias("obj"),
+    )
+    nr = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n:"), "n_nationkey").alias("subj"),
+        F.lit("in_region").alias("pred"),
+        F.concat(F.lit("r:"), "n_regionkey").alias("obj"),
+    )
+    triples = c.unionByName(s).unionByName(nr)
+    mk = lambda rows, schema: spark.createDataFrame(rows, schema)
+    return rdfs_entailment(
+        triples,
+        subclass=mk(
+            [
+                ("Customer", "Agent"),
+                ("Supplier", "Agent"),
+                ("Agent", "Thing"),
+                ("Nation", "Place"),
+                ("Region", "Place"),
+                ("Place", "Thing"),
+            ],
+            "child string, parent string",
+        ),
+        subproperty=mk(
+            [
+                ("cust_nation", "located_in"),
+                ("supp_nation", "located_in"),
+                ("located_in", "related_to"),
+            ],
+            "child string, parent string",
+        ),
+        domain=mk(
+            [
+                ("cust_nation", "Customer"),
+                ("supp_nation", "Supplier"),
+                ("in_region", "Nation"),
+            ],
+            "pred string, cls string",
+        ),
+        range_=mk(
+            [("located_in", "Nation"), ("in_region", "Region")],
+            "pred string, cls string",
+        ),
+        entity_prefixes=("c:", "s:", "n:", "r:"),
+    )
+
+
 def q_entity_res(spark, sf_dir):
     """Blocked entity resolution (operators/entityres.py) — the same_as
     source the S7 canonicalization merge needs for entities nobody linked
@@ -1203,7 +1256,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_window": q_topk_window,
         "q_semi_join": q_semi_join,
         "q_sessions": q_sessions,
-        "q_argmax": q_argmax,
         "q_events_daily": q_events_daily,
         "q_normalize": q_normalize,
         "q_multivalue_split": q_multivalue_split,
@@ -1240,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": q_cosine_topk,
         "q_closure": q_closure,
         "q_connected_components": q_connected_components,
+        "q_rdfs_entail": q_rdfs_entail,
         "q_entity_res": q_entity_res,
         "q_kg_pattern": q_kg_pattern,
         "q_kg_validate": q_kg_validate,
@@ -1694,14 +1747,72 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_big
             FROM islands GROUP BY user_id, sess
         """,
-        "q_argmax": """
-            SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
-                   c_custkey AS top_custkey, c_acctbal
-            FROM (
-                SELECT *, row_number() OVER (PARTITION BY c_nationkey
-                    ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
-                FROM customer
-            ) WHERE rn = 1
+        "q_rdfs_entail": """
+            WITH RECURSIVE t AS (
+                SELECT 'c:' || c_custkey AS subj, 'cust_nation' AS pred,
+                       'n:' || c_nationkey AS obj FROM customer
+                UNION ALL
+                SELECT 's:' || s_suppkey, 'supp_nation',
+                       'n:' || s_nationkey FROM supplier
+                UNION ALL
+                SELECT 'n:' || n_nationkey, 'in_region',
+                       'r:' || n_regionkey FROM nation
+            ),
+            sp_edges(child, parent) AS (
+                VALUES ('cust_nation', 'located_in'),
+                       ('supp_nation', 'located_in'),
+                       ('located_in', 'related_to')
+            ),
+            sc_edges(child, parent) AS (
+                VALUES ('Customer', 'Agent'), ('Supplier', 'Agent'),
+                       ('Agent', 'Thing'), ('Nation', 'Place'),
+                       ('Region', 'Place'), ('Place', 'Thing')
+            ),
+            dom(pred, cls) AS (
+                VALUES ('cust_nation', 'Customer'),
+                       ('supp_nation', 'Supplier'),
+                       ('in_region', 'Nation')
+            ),
+            rng(pred, cls) AS (
+                VALUES ('located_in', 'Nation'), ('in_region', 'Region')
+            ),
+            sp_clo AS (
+                SELECT child, parent FROM sp_edges
+                UNION
+                SELECT c.child, e.parent
+                FROM sp_clo c JOIN sp_edges e ON c.parent = e.child
+            ),
+            sc_clo AS (
+                SELECT child, parent FROM sc_edges
+                UNION
+                SELECT c.child, e.parent
+                FROM sc_clo c JOIN sc_edges e ON c.parent = e.child
+            ),
+            inherited AS (
+                SELECT t.subj, s.parent AS pred, t.obj
+                FROM t JOIN sp_clo s ON t.pred = s.child
+            ),
+            dr_input AS (SELECT * FROM t UNION ALL SELECT * FROM inherited),
+            dom_types AS (
+                SELECT i.subj, 'rdf:type' AS pred, d.cls AS obj
+                FROM dr_input i JOIN dom d ON i.pred = d.pred
+            ),
+            rng_types AS (
+                SELECT i.obj AS subj, 'rdf:type' AS pred, r.cls AS obj
+                FROM dr_input i JOIN rng r ON i.pred = r.pred
+            ),
+            type_base AS (
+                SELECT * FROM dom_types UNION ALL SELECT * FROM rng_types
+            ),
+            sc_types AS (
+                SELECT b.subj, 'rdf:type' AS pred, s.parent AS obj
+                FROM type_base b JOIN sc_clo s ON b.obj = s.child
+            )
+            SELECT DISTINCT subj, pred, obj FROM (
+                SELECT * FROM inherited
+                UNION ALL SELECT * FROM type_base
+                UNION ALL SELECT * FROM sc_types
+            )
         """,
         "q_events_daily": """
             SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
