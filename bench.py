@@ -68,6 +68,8 @@ def main() -> None:
         "q_kg_pattern",
         "q_kg_validate",
         "q_entity_res",
+        "q_rdfs_entail",
+        "q_sessions",
         "q_dsir",
         "q_bpe",
         "q_walks",

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from tabbyld_spark.functions.lineage import cut
 from tabbyld_spark.operators.sampling import hash_uniform
 
-__all__ = ["ppmi_matrix", "spectral_embedding"]
+__all__ = ["ppmi_matrix", "spectral_embedding", "negative_samples"]
 
 
 def ppmi_matrix(
@@ -158,3 +158,89 @@ def spectral_embedding(
             )
         )
     return v
+
+def negative_samples(
+    triples: DataFrame,
+    k: int = 1,
+    n_buckets: int = 65_536,
+    seed: str = "neg",
+) -> DataFrame:
+    """→ (subj, pred, obj, neg_idx): ``k`` corrupted-object negatives per
+    positive triple — the training counterpart every link-prediction /
+    KG-embedding objective needs (TransE-style corruption), DETERMINISTIC
+    like every sampler here: the replacement object is a pure function of
+    (seed, triple, j), so retries and re-shards corrupt identically.
+
+    Mechanics: the distinct entity pool is hashed into ``n_buckets``
+    buckets, each reduced to its min-entity representative (a bounded,
+    broadcastable table); each (triple, j) draws bucket
+    ``md5(seed:subj:pred:obj:j) % n_buckets`` and takes that bucket's
+    representative.  Draws that collide with the true object — or
+    reproduce an actual edge of the graph (false negatives) — are dropped
+    via one left-anti join, so the output is guaranteed negative.
+
+    Scale shape: one entity-grain aggregate (the pool), one broadcast
+    join, one anti-join keyed on the corrupted triple; never a shuffle of
+    the full corpus beyond the anti-join's own key exchange.  The bucket
+    count is clamped to the EXACT pool size (one count action — the
+    count-gate pattern): with more buckets than entities most draws would
+    land in empty buckets and vanish; at the clamp, expected yield per
+    draw is the Poisson occupancy ~63% (empty-bucket draws still vanish —
+    deterministic yield loss, never bias toward any entity)."""
+    ents = (
+        triples.select(F.col("subj").alias("e"))
+        .unionByName(triples.select(F.col("obj").alias("e")))
+        .distinct()
+    )
+    ents = ents.persist()
+    b = max(1, min(int(n_buckets), ents.count()))
+    pool = (
+        ents.select(
+            F.pmod(
+                F.conv(F.substring(F.md5(F.concat(F.lit("pool:"), "e")), 1, 8), 16, 10)
+                .cast("long"),
+                F.lit(b),
+            ).alias("bucket"),
+            F.col("e"),
+        )
+        .groupBy("bucket")
+        .agg(F.min("e").alias("neg_obj"))
+    )
+    drawn = triples.select(
+        "subj",
+        "pred",
+        F.col("obj").alias("pos_obj"),
+        F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1))).alias("neg_idx"),
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit(seed),
+                            "subj",
+                            "pred",
+                            "pos_obj",
+                            F.col("neg_idx").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(b),
+        ),
+    )
+    corrupted = (
+        drawn.join(F.broadcast(pool), "bucket")
+        .filter(F.col("neg_obj") != F.col("pos_obj"))
+        .select("subj", "pred", F.col("neg_obj").alias("obj"), "neg_idx")
+    )
+    # drop corruptions that happen to BE true edges (false negatives)
+    return corrupted.join(
+        triples.select("subj", "pred", "obj"), ["subj", "pred", "obj"], "left_anti"
+    )

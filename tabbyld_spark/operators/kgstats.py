@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["predicate_stats", "degree_stats", "annotate_triple_stats"]
+__all__ = [
+    "predicate_stats",
+    "degree_stats",
+    "annotate_triple_stats",
+    "infer_predicate_schema",
+]
 
 
 def predicate_stats(triples: DataFrame) -> DataFrame:
@@ -79,3 +84,64 @@ def annotate_triple_stats(triples: DataFrame) -> DataFrame:
             F.col("n_subj_triples").cast("long").alias("n_subj_triples"),
         )
     )
+
+
+def infer_predicate_schema(
+    triples: DataFrame,
+    types: DataFrame,
+    min_share: float = 0.8,
+    type_pred: str = "rdf:type",
+) -> DataFrame:
+    """Schema induction — infer each predicate's domain and range from the
+    DATA (the inverse of ``entailment.rdfs_entailment``, which applies a
+    declared schema): for every predicate, the majority class of its
+    subjects and of its objects, with the share of typed endpoints that
+    class covers → (pred, end, cls, n_typed, share, confident).
+
+    ``types`` is (entity, cls) — pass the rdf:type selection of the graph
+    (or the saturated one for coarser classes).  ``confident`` flags
+    majorities at/above ``min_share``; below it the predicate is
+    polymorphic and a curation pass should look at it before the schema is
+    published.  An entity typed with k classes contributes to k candidate
+    rows — the share denominator counts (endpoint, class) assignments, so
+    shares within one predicate+end sum to 1 over classes.
+
+    Scale shape: two endpoint→type joins (the type table keys on entity;
+    at web scale it is the big side, so the join shuffles on the entity
+    key both carry), then a (pred, end, cls)-grain count and a window-free
+    argmax via ``max_by`` over a (pred, end)-grain aggregate — everything
+    map-side-combines, grain never exceeds predicate×class."""
+    t = types.select(F.col("entity"), F.col("cls"))
+    base = triples.filter(F.col("pred") != type_pred)
+    ends = (
+        base.select("pred", F.col("subj").alias("entity"), F.lit("domain").alias("end"))
+        .unionByName(
+            base.select(
+                "pred", F.col("obj").alias("entity"), F.lit("range").alias("end")
+            )
+        )
+        .join(t, "entity")
+        .groupBy("pred", "end", "cls")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = (
+        ends.groupBy("pred", "end")
+        .agg(
+            # deterministic majority: max count, class-name DESC tiebreak
+            # (max_by over struct(n, cls) compares lexicographically)
+            F.max_by(
+                F.struct(F.col("cls"), F.col("n")),
+                F.struct(F.col("n"), F.col("cls")),
+            ).alias("top"),
+            F.sum("n").alias("n_typed"),
+        )
+        .select(
+            "pred",
+            "end",
+            F.col("top.cls").alias("cls"),
+            F.col("n_typed").cast("long").alias("n_typed"),
+            (F.col("top.n") / F.col("n_typed")).alias("share"),
+        )
+        .withColumn("confident", F.col("share") >= F.lit(float(min_share)))
+    )
+    return ranked
