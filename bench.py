@@ -43,7 +43,6 @@ def main() -> None:
         "q_agg_groupby",
         "q_join_multi",
         "q_topk_window",
-        "q_argmax",
         "q_events_daily",
         "q_normalize",
         "q_mentions",

@@ -103,6 +103,95 @@ class SnapshotCatalog(_StageRunner):
             raise FileNotFoundError(f"no committed snapshot for table {table!r}")
         return spark.read.parquet(os.path.join(self._table_dir(table), man["current"]))
 
+    def read_at(self, spark: SparkSession, table: str, snapshot: str) -> DataFrame:
+        """Time-travel: read a specific committed snapshot by id.  Snapshot
+        data dirs are immutable and retained until :meth:`expire_snapshots`,
+        so any un-expired history entry stays readable after later commits
+        — the debugging/rollback affordance Iceberg gives natively."""
+        man = self.manifest(table)
+        if man is None:
+            raise FileNotFoundError(f"no committed snapshot for table {table!r}")
+        entry = next((h for h in man["history"] if h["snapshot"] == snapshot), None)
+        if entry is None or entry.get("expired"):
+            raise FileNotFoundError(
+                f"snapshot {snapshot!r} of table {table!r} is unknown or expired"
+            )
+        return spark.read.parquet(os.path.join(self._table_dir(table), snapshot))
+
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        target_rows_per_file: int = 1_000_000,
+    ) -> str:
+        """Small-files compaction: rewrite the CURRENT snapshot into
+        ``ceil(rows / target_rows_per_file)`` files and commit the rewrite
+        as a new snapshot (content-identical — the committed row count is
+        re-observed during the rewrite and must match; a mismatch aborts
+        before the manifest flips).  The maintenance job every streaming /
+        incremental append path needs: micro-batch commits accrete
+        file-per-batch layouts whose per-file open/seek overhead dominates
+        scans long before data volume does."""
+        man = self.manifest(table)
+        if man is None:
+            raise FileNotFoundError(f"no committed snapshot for table {table!r}")
+        prev = next(h for h in man["history"] if h["snapshot"] == man["current"])
+        df = self.read(spark, table)
+        n_files = max(1, -(-int(prev["rows"]) // int(target_rows_per_file)))
+        snap = self.write(
+            df.repartition(n_files),
+            table,
+            lineage={"op": "compact", "source_snapshot": man["current"],
+                     "target_rows_per_file": int(target_rows_per_file)},
+        )
+        new_man = self.manifest(table)
+        new_rows = next(
+            h for h in new_man["history"] if h["snapshot"] == snap
+        )["rows"]
+        if new_rows != prev["rows"]:
+            # roll the manifest back to the pre-compaction snapshot
+            new_man["current"] = prev["snapshot"]
+            new_man["history"] = [
+                h for h in new_man["history"] if h["snapshot"] != snap
+            ]
+            tmp = self._manifest_path(table) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(new_man, f, indent=1)
+            os.replace(tmp, self._manifest_path(table))
+            shutil.rmtree(
+                os.path.join(self._table_dir(table), snap), ignore_errors=True
+            )
+            raise RuntimeError(
+                f"compaction row-count mismatch for {table!r}: "
+                f"{new_rows} != {prev['rows']} — rolled back"
+            )
+        return snap
+
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> list[str]:
+        """Delete the data of all but the last ``keep_last`` snapshots
+        (the current snapshot is always kept).  History entries remain in
+        the manifest, marked ``expired`` — lineage is never erased, only
+        data reclaimed.  Returns the expired snapshot ids."""
+        man = self.manifest(table)
+        if man is None:
+            return []
+        keep = max(1, int(keep_last))
+        live = [h for h in man["history"] if not h.get("expired")]
+        to_expire = [
+            h for h in live[:-keep] if h["snapshot"] != man["current"]
+        ]
+        for h in to_expire:
+            shutil.rmtree(
+                os.path.join(self._table_dir(table), h["snapshot"]),
+                ignore_errors=True,
+            )
+            h["expired"] = True
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=1)
+        os.replace(tmp, self._manifest_path(table))
+        return [h["snapshot"] for h in to_expire]
+
     def drop(self, table: str) -> None:
         shutil.rmtree(self._table_dir(table), ignore_errors=True)
 
