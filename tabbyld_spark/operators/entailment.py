@@ -40,10 +40,40 @@ __all__ = ["rdfs_entailment"]
 RDF_TYPE = "rdf:type"
 
 
-def _closure_pairs(edges: DataFrame | None) -> DataFrame | None:
-    """(child, parent) edges → strict-ancestor pairs (depth ≥ 1)."""
+def _closure_pairs(
+    edges: DataFrame | None, driver_max: int = 100_000
+) -> DataFrame | None:
+    """(child, parent) edges → strict-ancestor pairs (depth ≥ 1).
+
+    Count-gated hybrid (the ``count_gated_hint`` pattern): ontology edge
+    sets are schema-sized, so when the EXACT count fits ``driver_max`` the
+    transitive closure runs driver-side on the collected edges — identical
+    pairs, none of the iterative loop's ~2-jobs-per-round latency (the
+    dominant cost of q_rdfs_entail was two such loops over <10 edges).
+    Larger hierarchies take :func:`closure.subclass_closure`'s
+    O(log diameter) distributed doubling unchanged."""
     if edges is None:
         return None
+    sess = edges.sparkSession
+    n = edges.count()
+    if n <= int(driver_max):
+        adj: dict[str, set[str]] = {}
+        for r in edges.collect():
+            adj.setdefault(r["child"], set()).add(r["parent"])
+        pairs: set[tuple[str, str]] = set()
+        for start in adj:
+            seen: set[str] = set()
+            stack = list(adj[start])
+            while stack:
+                p = stack.pop()
+                if p in seen:
+                    continue
+                seen.add(p)
+                stack.extend(adj.get(p, ()))
+            pairs.update((start, p) for p in seen)
+        return sess.createDataFrame(
+            sorted(pairs), "child string, parent string"
+        )
     return (
         subclass_closure(edges)
         .filter(F.col("depth") >= 1)
@@ -71,9 +101,16 @@ def rdfs_entailment(
     literal-valued objects must not be typed; when given, only objects
     with one of the prefixes receive range types (the standard
     literal-guard every materializer applies)."""
+    from tabbyld_spark.functions.lineage import cut
+
     sess = triples.sparkSession
     derived: list[DataFrame] = []
 
+    # every rule branch consumes the triple set (and the final anti-join a
+    # fifth time) — one lineage cut stops the branches re-deriving the
+    # input subtree per consumer (the multi-consumer pattern
+    # plans/webcorpus.py documents)
+    triples = cut(triples)
     base = triples.filter(F.col("pred") != type_pred)
 
     # rdfs5+7: property inheritance through the subPropertyOf closure
