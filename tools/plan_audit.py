@@ -106,6 +106,23 @@ def run_audit(spark, sf: str = "/root/testdata/sf0.01") -> list[tuple[str, bool,
         f"{p.count('BroadcastHashJoin')} broadcast joins in scoring plan",
     )
 
+    # 1e. RDFS entailment: every ontology join broadcasts (the corpus never
+    # shuffles for reasoning — no sort-merge anywhere in the rule tree)
+    p = plan_of(E.q_rdfs_entail(spark, sf))
+    check(
+        "broadcast/rdfs_entail",
+        "SortMergeJoin" not in p and p.count("BroadcastHashJoin") >= 3,
+        f"{p.count('BroadcastHashJoin')} broadcast joins, no sort-merge",
+    )
+
+    # 1f. sessionization: ONE exchange (the user-grain session aggregate)
+    p = plan_of(E.q_sessions(spark, sf))
+    check(
+        "one-shuffle/sessions",
+        p.count("Exchange") <= 2,  # partial+final agg may plan 2 under AQE
+        f"{p.count('Exchange')} exchanges in the session plan",
+    )
+
     # 2. dimension joins broadcast (at sf0.01 even orders/customer fit under
     # the threshold, so we only require the nation/region dims broadcast —
     # Catalyst promoting more is correct, not a failure)
