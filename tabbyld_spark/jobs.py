@@ -409,6 +409,94 @@ def cmd_diff(args: argparse.Namespace) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# publish
+# ---------------------------------------------------------------------------
+
+
+def cmd_publish(args: argparse.Namespace) -> dict:
+    from tabbyld_spark.plans.kgpublish import KGPublishError, publish_kg
+    from tabbyld_spark.sources.catalog import make_catalog
+
+    spark = _session("tabbyld-publish")
+    catalog = make_catalog(spark, args.catalog)
+    triples = spark.read.parquet(args.triples)
+
+    def _opt(path):
+        return spark.read.parquet(path) if path else None
+
+    try:
+        res = publish_kg(
+            spark,
+            catalog,
+            triples,
+            table=args.table,
+            subclass=_opt(args.subclass),
+            subproperty=_opt(args.subproperty),
+            domain=_opt(args.domain),
+            range_=_opt(args.range),
+            functional_preds=tuple(args.functional or ()),
+            entity_prefix=args.entity_prefix,
+            disjoint_pairs=tuple(
+                tuple(p.split("|", 1)) for p in (args.disjoint or ())
+            ),
+            entity_prefixes=tuple(args.range_entity_prefix or ()),
+            compact_target_rows=args.compact_target_rows,
+        )
+    except KGPublishError as e:
+        return {
+            "command": "publish",
+            "published": False,
+            "violations": e.violations[:20],
+            "n_violations_reported": len(e.violations),
+        }
+    return {
+        "command": "publish",
+        "published": True,
+        "table": res.table,
+        "n_input": res.n_input,
+        "n_derived": res.n_derived,
+        "snapshot": res.snapshot,
+        "compacted_snapshot": res.compacted_snapshot,
+        "stats_table": res.stats_table,
+    }
+
+
+# ---------------------------------------------------------------------------
+# inc-dedup
+# ---------------------------------------------------------------------------
+
+
+def cmd_inc_dedup(args: argparse.Namespace) -> dict:
+    from tabbyld_spark.plans.incdedup import dedup_against_ledger
+    from tabbyld_spark.sources.catalog import make_catalog
+
+    spark = _session("tabbyld-inc-dedup")
+    catalog = make_catalog(spark, args.catalog)
+    batch = spark.read.parquet(args.batch)
+    res = dedup_against_ledger(
+        spark,
+        catalog,
+        batch,
+        args.batch_id,
+        ledger_table=args.ledger_table,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        commit=not args.dry_run,
+    )
+    res.accepted.write.mode("overwrite").parquet(args.out)
+    return {
+        "command": "inc-dedup",
+        "batch_id": args.batch_id,
+        "n_batch": res.n_batch,
+        "n_in_batch_dupes": res.n_in_batch_dupes,
+        "n_ledger_dupes": res.n_ledger_dupes,
+        "n_accepted": res.n_batch - res.n_in_batch_dupes - res.n_ledger_dupes,
+        "ledger_snapshot": res.ledger_snapshot,
+        "out": args.out,
+    }
+
+
+# ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------
 
@@ -522,6 +610,41 @@ def build_parser() -> argparse.ArgumentParser:
     df.add_argument("--new", required=True, help="current pages parquet")
     df.add_argument("--out", required=True)
     df.set_defaults(func=cmd_diff)
+
+    pb = sub.add_parser(
+        "publish", help="triples → entail + integrity gate + snapshot commit"
+    )
+    pb.add_argument("--triples", required=True, help="triples parquet (subj,pred,obj)")
+    pb.add_argument("--catalog", required=True)
+    pb.add_argument("--table", default="kg_triples")
+    pb.add_argument("--subclass", help="parquet (child,parent)")
+    pb.add_argument("--subproperty", help="parquet (child,parent)")
+    pb.add_argument("--domain", help="parquet (pred,cls)")
+    pb.add_argument("--range", help="parquet (pred,cls)")
+    pb.add_argument("--functional", nargs="*", help="functional predicate names")
+    pb.add_argument("--entity-prefix", help="dangling-reference check prefix")
+    pb.add_argument(
+        "--disjoint", nargs="*", help="disjoint class pairs as ClassA|ClassB"
+    )
+    pb.add_argument(
+        "--range-entity-prefix", nargs="*",
+        help="prefixes marking entity objects (rdfs3 literal guard)",
+    )
+    pb.add_argument("--compact-target-rows", type=int, default=1_000_000)
+    pb.set_defaults(func=cmd_publish)
+
+    idp = sub.add_parser(
+        "inc-dedup", help="dedup a batch against the committed content ledger"
+    )
+    idp.add_argument("--batch", required=True, help="batch parquet")
+    idp.add_argument("--batch-id", required=True)
+    idp.add_argument("--catalog", required=True)
+    idp.add_argument("--out", required=True, help="accepted-rows parquet")
+    idp.add_argument("--ledger-table", default="content_ledger")
+    idp.add_argument("--text-col", default="text")
+    idp.add_argument("--id-col", default="doc_id")
+    idp.add_argument("--dry-run", action="store_true")
+    idp.set_defaults(func=cmd_inc_dedup)
     return p
 
 

@@ -182,3 +182,73 @@ def test_webprep_and_graph_jobs_in_process(spark, submit_tree, tmp_path):
     # every host both links out and is linked to in this fixture; anchor 'x'
     assert g.filter((F.col("out_deg") < 1) | (F.col("in_deg") < 1)).count() == 0
     assert g.filter(F.col("top_anchor") != "x").count() == 0
+
+
+def test_publish_and_inc_dedup_jobs_in_process(spark, tmp_path):
+    """The round-4 session-5 jobs through main(): publish (gate pass AND
+    gate fail) and the incremental content-ledger dedup."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from tabbyld_spark import jobs
+
+    tri_dir = str(tmp_path / "triples")
+    spark.createDataFrame(
+        [("e:a", "p", "e:b"), ("e:a", "rdf:type", "C"),
+         ("e:b", "rdf:type", "C")],  # e:b must be a subject (dangling gate)
+        "subj string, pred string, obj string",
+    ).write.parquet(tri_dir)
+    sc_dir = str(tmp_path / "sc")
+    spark.createDataFrame(
+        [("C", "D")], "child string, parent string"
+    ).write.parquet(sc_dir)
+
+    cat_dir = str(tmp_path / "cat")
+    assert jobs.main([
+        "publish", "--triples", tri_dir, "--catalog", cat_dir,
+        "--subclass", sc_dir, "--functional", "p",
+        "--entity-prefix", "e:", "--compact-target-rows", "1000",
+    ]) == 0
+    pub = spark.read.parquet(
+        os.path.join(cat_dir, "kg_triples",
+                     _json.load(open(os.path.join(cat_dir, "kg_triples",
+                                                  "_manifest.json")))["current"])
+    )
+    assert pub.count() == 5  # 3 input + (e:a type D) + (e:b type D)
+
+    # gate-fail path: functional violation → published=false, no new table
+    bad_dir = str(tmp_path / "bad")
+    spark.createDataFrame(
+        [("e:a", "p", "e:b"), ("e:a", "p", "e:c")],
+        "subj string, pred string, obj string",
+    ).write.parquet(bad_dir)
+    cat2 = str(tmp_path / "cat2")
+    assert jobs.main([
+        "publish", "--triples", bad_dir, "--catalog", cat2,
+        "--functional", "p",
+    ]) == 0  # the job reports the gate result, it does not crash
+    assert not os.path.exists(os.path.join(cat2, "kg_triples", "_manifest.json"))
+
+    # inc-dedup: second batch rejects ledger duplicates
+    b1 = str(tmp_path / "b1")
+    b2 = str(tmp_path / "b2")
+    spark.createDataFrame(
+        [("a", "x"), ("b", "y")], "doc_id string, text string"
+    ).write.parquet(b1)
+    spark.createDataFrame(
+        [("c", "x"), ("d", "z")], "doc_id string, text string"
+    ).write.parquet(b2)
+    led = str(tmp_path / "led")
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    assert jobs.main([
+        "inc-dedup", "--batch", b1, "--batch-id", "b1",
+        "--catalog", led, "--out", out1,
+    ]) == 0
+    assert jobs.main([
+        "inc-dedup", "--batch", b2, "--batch-id", "b2",
+        "--catalog", led, "--out", out2,
+    ]) == 0
+    assert spark.read.parquet(out1).count() == 2
+    acc2 = spark.read.parquet(out2)
+    assert [r.doc_id for r in acc2.collect()] == ["d"]  # "x" already in ledger
