@@ -32,6 +32,11 @@ composed from the individually-tested operators:
                          FineWeb-class pipelines run line OR span dedup
                          depending on corpus; both winners key on (url, pos)
                          so determinism is preserved)
+    W3d quality gate     optional trained-classifier filter
+                         (``quality_model=`` + ``quality_min_prob=``):
+                         the fastText/FineWeb-Edu-style discriminative
+                         gate (operators/classifier.py), scored after
+                         dedup so duplicates never vote
     W3c LM gate          optional CCNet-style perplexity filter
                          (``lm_nll_max=``): a unigram LM self-trained on the
                          post-dedup corpus scores every doc's mean token
@@ -80,6 +85,8 @@ def prep_web_corpus(
     latest_only: bool = False,
     respect_noindex: bool = False,
     robots: DataFrame | None = None,
+    quality_model=None,
+    quality_min_prob: float | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang, …) → (seq_key, doc_id=url,
     chunk_id, chunk_text, n_chunk_tokens, bucket, cum_tokens, pack_id)."""
@@ -149,6 +156,20 @@ def prep_web_corpus(
             .select("doc_id")
         )
         deduped = deduped.join(keep, "doc_id", "left_semi")
+    if quality_model is not None and quality_min_prob is not None:
+        from tabbyld_spark.operators.classifier import score_text_classifier
+
+        # W3d: trained quality gate (operators/classifier.py — the
+        # fastText/FineWeb-Edu shape): docs scoring below the probability
+        # floor under the caller's model are dropped.  The model is
+        # trained OUT OF BAND (labels are external by nature); scoring is
+        # one broadcast join + doc-grain aggregate, the filter zero-shuffle
+        keep_q = (
+            score_text_classifier(deduped, quality_model)
+            .filter(F.col("prob") >= quality_min_prob)
+            .select("doc_id")
+        )
+        deduped = deduped.join(keep_q, "doc_id", "left_semi")
     return prep_training_sequences(
         deduped,
         lang=lang,

@@ -197,3 +197,51 @@ def test_robots_gate_blocks_disallowed_paths(spark, pages):
     b = gated.select("seq_key", "chunk_text", "bucket", "pack_id")
     assert a.count() > 0
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_quality_gate_stage(spark, pages_fx):
+    """W3d: a classifier trained to reject one synthetic 'spam' page drops
+    exactly that page from the composed chain; without the gate it packs."""
+    from pyspark.sql import functions as F
+
+    from tabbyld_spark.operators.classifier import train_text_classifier
+    from tabbyld_spark.plans.webcorpus import prep_web_corpus
+
+    pages = spark.createDataFrame(pages_fx.pages.head(30))
+    # stopword-bearing spam so the BASELINE gates (langid, stopword ratio)
+    # pass and only the trained gate can reject it
+    spam_line = "the jackpot casino bonus and the spins are on the offer now"
+    spam_text = " ".join([spam_line] * 10)
+    spam_html = "<html><body><p>" + spam_text + "</p></body></html>"
+    spam = spark.createDataFrame(
+        [("https://spam.example/x", spam_html.encode(), spam_text)],
+        "url string, html binary, text string",
+    ).withColumn("warc_ts", F.current_timestamp()).withColumn("lang", F.lit("en"))
+    pages = pages.unionByName(spam.select(*pages.columns))
+
+    train = spark.createDataFrame(
+        [(i, "the useful words about the content extraction are here", 1)
+         for i in range(6)]
+        + [(100 + i, "the jackpot casino bonus and the spins are on the offer now", 0)
+           for i in range(6)],
+        "doc_id long, text string, label int",
+    )
+    model = train_text_classifier(train, n_buckets=128, n_iters=40, lr=1.0)
+
+    without = prep_web_corpus(pages, max_tokens=64, overlap=8, seq_len=512)
+    gated = prep_web_corpus(
+        pages, max_tokens=64, overlap=8, seq_len=512,
+        quality_model=model, quality_min_prob=0.44,
+    )
+    spam_doc = "https://spam.example/x"
+    assert without.filter(F.col("doc_id") == spam_doc).count() > 0
+    assert gated.filter(F.col("doc_id") == spam_doc).count() == 0
+    # the gate is SELECTIVE, not a blanket drop: the spam doc (nearly
+    # identical to the negative class) goes, while a solid majority of
+    # real pages survive (their post-dedup text scores near the prior;
+    # exact counts shift with the line-dedup winners, so the floor is
+    # deliberately loose)
+    n_without = without.select("doc_id").distinct().count()
+    n_gated = gated.select("doc_id").distinct().count()
+    assert n_without >= 15
+    assert n_gated >= 10
