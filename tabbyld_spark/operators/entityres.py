@@ -32,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["er_profiles", "blocked_same_as", "resolve_entities"]
+__all__ = [
+    "er_profiles",
+    "blocked_same_as",
+    "fuzzy_blocked_same_as",
+    "resolve_entities",
+]
 
 
 def er_profiles(
@@ -119,6 +124,101 @@ def blocked_same_as(
             (F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))).alias(
                 "jaccard"
             ),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+    )
+
+
+def fuzzy_blocked_same_as(
+    profiles: DataFrame,
+    threshold: float = 0.5,
+    num_bands: int = 6,
+    max_bucket: int = 1000,
+    name_jaccard_min: float = 0.5,
+    id_col: str = "entity",
+    block_col: str = "block",
+    attrs_col: str = "attrs",
+) -> DataFrame:
+    """Typo-tolerant variant of :func:`blocked_same_as`: instead of exact
+    block-key equality, candidate pairs come from MinHash band collisions
+    over the block string (the same seeded-xxhash64 2-gram bands as
+    ``operators/fuzzy.py`` — "Acme Corp" and "Acme Corpp" now land in a
+    shared bucket).  Precision is restored by two exact rescores on the
+    bucketed shortlist: char-2-gram Jaccard of the names at/above
+    ``name_jaccard_min``, then the usual attribute-set Jaccard at/above
+    ``threshold``.
+
+    Scale shape: ``num_bands`` rows per entity into the (band, sig)
+    equi-join; buckets over ``max_bucket`` entities are dropped before
+    pair generation (the same skew guard as the exact path — a
+    stop-word-ish name floods its buckets).  Pairs carry the two gram/attr
+    arrays through ONE join each for the in-expression intersects — per
+    pair, never per corpus, and bounded by the bucket cap."""
+    from tabbyld_spark.operators.fuzzy import _shingle
+
+    ents = profiles.select(
+        F.col(id_col).alias("entity"),
+        F.col(block_col).alias("block"),
+        F.array_distinct(F.col(attrs_col)).alias("attrs"),
+    ).filter((F.size("attrs") > 0) & (F.col("block") != ""))
+    # same seeded-xxhash64 band construction as fuzzy._band_rows, with the
+    # entity id carried through (the shared helper drops non-key columns)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(
+                    f"array_min(transform(_grams, g -> xxhash64(g, {i})))"
+                ).alias("sig"),
+            )
+            for i in range(int(num_bands))
+        ]
+    )
+    banded = (
+        _shingle(ents.select("entity", "block"), "block")
+        .withColumn("_b", F.explode(bands))
+        .select(
+            "entity",
+            "block",
+            "_grams",
+            F.col("_b.band").alias("band"),
+            F.col("_b.sig").alias("sig"),
+        )
+    )
+    bucket_sizes = banded.groupBy("band", "sig").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    kept = banded.join(
+        bucket_sizes.filter(F.col("bn") <= max_bucket).select("band", "sig"),
+        ["band", "sig"],
+    )
+    a = kept.select(
+        "band", "sig", F.col("entity").alias("src"), F.col("_grams").alias("ga")
+    )
+    b = kept.select(
+        "band", "sig", F.col("entity").alias("dst"), F.col("_grams").alias("gb")
+    )
+    pairs = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", "ga", "gb")
+        .dropDuplicates(["src", "dst"])  # a pair colliding in k bands: once
+    )
+    name_i = F.size(F.array_intersect("ga", "gb"))
+    name_j = name_i / (F.size("ga") + F.size("gb") - name_i)
+    named = pairs.filter(name_j >= F.lit(float(name_jaccard_min))).select(
+        "src", "dst"
+    )
+    pa = ents.select(F.col("entity").alias("src"), F.col("attrs").alias("aa"))
+    pb = ents.select(F.col("entity").alias("dst"), F.col("attrs").alias("ab"))
+    i = F.size(F.array_intersect("aa", "ab"))
+    return (
+        named.join(pa, "src")
+        .join(pb, "dst")
+        .select(
+            "src",
+            "dst",
+            (i / (F.size("aa") + F.size("ab") - i)).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= F.lit(float(threshold)))
     )

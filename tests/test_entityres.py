@@ -103,3 +103,53 @@ def test_deterministic_under_resharding(spark):
     a = sorted(map(tuple, blocked_same_as(prof, 0.3).collect()))
     b = sorted(map(tuple, blocked_same_as(prof.repartition(7), 0.3).collect()))
     assert a == b and len(a) > 0
+
+
+def test_fuzzy_blocking_pairs_typod_names(spark):
+    from tabbyld_spark.operators.entityres import fuzzy_blocked_same_as
+
+    prof = _profiles(
+        spark,
+        [
+            ("a", "acme corporation", ["x", "y", "z"]),
+            ("b", "acme corporaton", ["x", "y", "z"]),   # typo'd name, same attrs
+            ("c", "zzq unrelated name", ["x", "y", "z"]),  # same attrs, far name
+        ],
+    )
+    # the EXACT path cannot pair a/b (different block keys)...
+    assert blocked_same_as(prof, threshold=0.5).count() == 0
+    # ...the fuzzy path can, and still refuses the far-name candidate
+    out = fuzzy_blocked_same_as(prof, threshold=0.5, name_jaccard_min=0.5)
+    assert [(r.src, r.dst, r.jaccard) for r in out.collect()] == [("a", "b", 1.0)]
+
+
+def test_fuzzy_superset_of_exact_on_identical_names(spark):
+    from tabbyld_spark.operators.entityres import fuzzy_blocked_same_as
+
+    prof = _profiles(
+        spark,
+        [
+            ("a", "same name", ["x", "y", "w"]),
+            ("b", "same name", ["x", "y", "z"]),  # J = 2/4 = 0.5
+        ],
+    )
+    exact = {(r.src, r.dst) for r in blocked_same_as(prof, 0.5).collect()}
+    fuzzy = {
+        (r.src, r.dst)
+        for r in fuzzy_blocked_same_as(prof, 0.5, name_jaccard_min=0.9).collect()
+    }
+    assert exact == {("a", "b")} and exact <= fuzzy
+
+
+def test_fuzzy_bucket_cap_and_reshard_determinism(spark):
+    from tabbyld_spark.operators.entityres import fuzzy_blocked_same_as
+
+    rows = [(f"e{i}", f"name variant {i % 5}", ["x", "y"]) for i in range(30)]
+    prof = _profiles(spark, rows)
+    a = sorted(map(tuple, fuzzy_blocked_same_as(prof, 0.5).collect()))
+    b = sorted(
+        map(tuple, fuzzy_blocked_same_as(prof.repartition(7), 0.5).collect())
+    )
+    assert a == b and len(a) > 0
+    # a tiny cap drops every bucket: no pairs, no error
+    assert fuzzy_blocked_same_as(prof, 0.5, max_bucket=1).count() == 0
