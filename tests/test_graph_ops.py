@@ -146,3 +146,51 @@ def test_pagerank_zero_iterations_is_uniform_and_resharding_invariant(spark):
     assert sorted((r["node"], r["rank"]) for r in a) == sorted(
         (r["node"], r["rank"]) for r in b
     )
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 on {a,b,c,d} + a pendant e: every K4 node closes 3 triangles
+    (clustering 1.0), the pendant closes none; direction/duplicate edges
+    collapse first."""
+    import pytest
+
+    from tabbyld_spark.operators.graphrank import triangle_counts
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"), ("b", "c"),
+         ("b", "d"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    out = {r.node: (r.triangles, r.degree, r.clustering) for r in triangle_counts(edges).collect()}
+    for n in "abc":
+        assert out[n] == (3, 3, 1.0), n
+    assert out["d"][:2] == (3, 4) and out["d"][2] == pytest.approx(0.5)
+    assert out["e"] == (0, 1, 0.0)
+
+
+def test_triangle_counts_matches_bruteforce_and_hub_guard(spark):
+    import itertools
+    import random as _r
+
+    from tabbyld_spark.operators.graphrank import triangle_counts
+
+    rng = _r.Random(7)
+    nodes = [f"n{i}" for i in range(14)]
+    und = {tuple(sorted(p)) for p in itertools.combinations(nodes, 2) if rng.random() < 0.3}
+    edges = spark.createDataFrame(sorted(und), "src string, dst string")
+    got = {r.node: r.triangles for r in triangle_counts(edges).collect()}
+    adj = {n: set() for n in nodes}
+    for u, v in und:
+        adj[u].add(v); adj[v].add(u)
+    for n in nodes:
+        want = sum(1 for x, y in itertools.combinations(sorted(adj[n]), 2) if y in adj[x])
+        assert got.get(n, 0) == want, n
+    # hub guard: max_deg below the hub's degree removes it AND its triangles
+    hubbed = edges.unionByName(
+        spark.createDataFrame([("hub", n) for n in nodes], "src string, dst string")
+    )
+    capped = triangle_counts(hubbed, max_deg=13)
+    assert capped.filter(F.col("node") == "hub").count() == 0
+    got2 = {r.node: r.triangles for r in capped.collect()}
+    for n in nodes:  # original triangles unchanged once the hub is dropped
+        assert got2.get(n, 0) == got.get(n, 0), n
