@@ -467,12 +467,16 @@ def cmd_publish(args: argparse.Namespace) -> dict:
 
 
 def cmd_inc_dedup(args: argparse.Namespace) -> dict:
-    from tabbyld_spark.plans.incdedup import dedup_against_ledger
+    from tabbyld_spark.plans.incdedup import commit_ledger, dedup_against_ledger
     from tabbyld_spark.sources.catalog import make_catalog
 
     spark = _session("tabbyld-inc-dedup")
     catalog = make_catalog(spark, args.catalog)
     batch = spark.read.parquet(args.batch)
+    # crash ordering (plans/incdedup.py): the accepted rows must be durable
+    # BEFORE the ledger commit — a committed ledger makes a re-run of the
+    # batch accept zero rows, so committing first would lose the batch if
+    # the output write crashed
     res = dedup_against_ledger(
         spark,
         catalog,
@@ -481,9 +485,11 @@ def cmd_inc_dedup(args: argparse.Namespace) -> dict:
         ledger_table=args.ledger_table,
         text_col=args.text_col,
         id_col=args.id_col,
-        commit=not args.dry_run,
+        commit=False,
     )
     res.accepted.write.mode("overwrite").parquet(args.out)
+    if not args.dry_run:
+        commit_ledger(spark, catalog, res)
     return {
         "command": "inc-dedup",
         "batch_id": args.batch_id,

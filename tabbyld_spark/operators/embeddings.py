@@ -192,20 +192,28 @@ def negative_samples(
         .unionByName(triples.select(F.col("obj").alias("e")))
         .distinct()
     )
+    # ents feeds two actions (the clamp count, then the pool aggregate); the
+    # persist is released as soon as the bucketed pool is materialized via an
+    # eager lineage cut — a long-lived session calling this repeatedly must
+    # not accumulate cached entity pools
     ents = ents.persist()
-    b = max(1, min(int(n_buckets), ents.count()))
-    pool = (
-        ents.select(
-            F.pmod(
-                F.conv(F.substring(F.md5(F.concat(F.lit("pool:"), "e")), 1, 8), 16, 10)
-                .cast("long"),
-                F.lit(b),
-            ).alias("bucket"),
-            F.col("e"),
+    try:
+        b = max(1, min(int(n_buckets), ents.count()))
+        pool = cut(
+            ents.select(
+                F.pmod(
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit("pool:"), "e")), 1, 8), 16, 10
+                    ).cast("long"),
+                    F.lit(b),
+                ).alias("bucket"),
+                F.col("e"),
+            )
+            .groupBy("bucket")
+            .agg(F.min("e").alias("neg_obj"))
         )
-        .groupBy("bucket")
-        .agg(F.min("e").alias("neg_obj"))
-    )
+    finally:
+        ents.unpersist()
     drawn = triples.select(
         "subj",
         "pred",

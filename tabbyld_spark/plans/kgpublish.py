@@ -89,12 +89,36 @@ def publish_kg(
         entity_prefix is not None
     )
     if checks_enabled:
-        profile = kg_integrity_profile(
-            saturated,
-            functional_preds=list(functional_preds),
-            entity_prefix=entity_prefix,
-            disjoint_pairs=list(disjoint_pairs),
-        )
+        # functional/disjoint run over the SATURATED graph (inherited
+        # properties and derived types must not violate either), but the
+        # dangling-reference check runs over the INPUT triples: the rdfs3
+        # range rule mints (obj, rdf:type, C) triples that turn a
+        # referenced-but-undescribed entity into a subject, silently masking
+        # exactly the danglers the gate exists to catch whenever range_
+        # covers the referencing predicate.  "Described" means the producer
+        # wrote triples about it — not that the reasoner typed it.
+        profiles: list[DataFrame] = []
+        if functional_preds or disjoint_pairs:
+            profiles.append(
+                kg_integrity_profile(
+                    saturated,
+                    functional_preds=list(functional_preds),
+                    entity_prefix=None,
+                    disjoint_pairs=list(disjoint_pairs),
+                )
+            )
+        if entity_prefix is not None:
+            profiles.append(
+                kg_integrity_profile(
+                    triples,
+                    functional_preds=(),
+                    entity_prefix=entity_prefix,
+                    disjoint_pairs=(),
+                )
+            )
+        profile = profiles[0]
+        for p in profiles[1:]:
+            profile = profile.unionByName(p)
         violations = [r.asDict() for r in profile.limit(max_violations_reported).collect()]
         if violations:
             raise KGPublishError(violations)

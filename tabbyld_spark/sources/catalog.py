@@ -89,7 +89,8 @@ class SnapshotCatalog(_StageRunner):
         n_rows = obs.get["rows"]
         man["current"] = snap_id
         man["history"].append(
-            {"snapshot": snap_id, "rows": n_rows, "lineage": lineage or {}}
+            {"snapshot": snap_id, "rows": n_rows, "dirs": [snap_id],
+             "lineage": lineage or {}}
         )
         tmp = self._manifest_path(table) + ".tmp"
         with open(tmp, "w") as f:
@@ -97,11 +98,54 @@ class SnapshotCatalog(_StageRunner):
         os.replace(tmp, self._manifest_path(table))  # atomic commit
         return snap_id
 
+    def append(self, df: DataFrame, table: str, lineage: dict | None = None) -> str:
+        """Append-commit: the new snapshot references the PRIOR snapshot's
+        data files plus one new delta dir — only the delta is written.  This
+        is the Iceberg append semantics the incremental-ledger path needs:
+        a batch commit costs O(delta) I/O, not O(table) (a full-rewrite
+        commit at a 10^12-doc ledger would dominate every batch).  On a
+        missing table this is the initial :meth:`write`."""
+        man = self.manifest(table)
+        if man is None:
+            return self.write(df, table, lineage=lineage)
+        prev = next(h for h in man["history"] if h["snapshot"] == man["current"])
+        snap_id = f"snap-{len(man['history']):06d}"
+        tdir = self._table_dir(table)
+        delta_dir = os.path.join(tdir, snap_id)
+        obs = Observation(f"catalog-{table}-{snap_id}")
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(delta_dir)
+        n_delta = obs.get["rows"]
+        man["current"] = snap_id
+        man["history"].append(
+            {
+                "snapshot": snap_id,
+                "rows": int(prev["rows"]) + n_delta,
+                "dirs": self._entry_dirs(prev) + [snap_id],
+                "lineage": {**(lineage or {}), "append_rows": n_delta},
+            }
+        )
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=1)
+        os.replace(tmp, self._manifest_path(table))  # atomic commit
+        return snap_id
+
+    @staticmethod
+    def _entry_dirs(entry: dict) -> list[str]:
+        # pre-append manifests carry no "dirs" — one dir named by the snapshot
+        return list(entry.get("dirs", [entry["snapshot"]]))
+
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         man = self.manifest(table)
         if man is None:
             raise FileNotFoundError(f"no committed snapshot for table {table!r}")
-        return spark.read.parquet(os.path.join(self._table_dir(table), man["current"]))
+        entry = next(h for h in man["history"] if h["snapshot"] == man["current"])
+        tdir = self._table_dir(table)
+        return spark.read.parquet(
+            *[os.path.join(tdir, d) for d in self._entry_dirs(entry)]
+        )
 
     def read_at(self, spark: SparkSession, table: str, snapshot: str) -> DataFrame:
         """Time-travel: read a specific committed snapshot by id.  Snapshot
@@ -116,7 +160,10 @@ class SnapshotCatalog(_StageRunner):
             raise FileNotFoundError(
                 f"snapshot {snapshot!r} of table {table!r} is unknown or expired"
             )
-        return spark.read.parquet(os.path.join(self._table_dir(table), snapshot))
+        tdir = self._table_dir(table)
+        return spark.read.parquet(
+            *[os.path.join(tdir, d) for d in self._entry_dirs(entry)]
+        )
 
     def compact(
         self,
@@ -180,11 +227,17 @@ class SnapshotCatalog(_StageRunner):
         to_expire = [
             h for h in live[:-keep] if h["snapshot"] != man["current"]
         ]
+        # append snapshots REFERENCE older snapshots' data dirs: a dir is
+        # reclaimable only when no surviving snapshot lists it (the same
+        # reachability rule Iceberg's expire_snapshots applies to data files)
+        kept = [h for h in live if h not in to_expire]
+        referenced = {d for h in kept for d in self._entry_dirs(h)}
         for h in to_expire:
-            shutil.rmtree(
-                os.path.join(self._table_dir(table), h["snapshot"]),
-                ignore_errors=True,
-            )
+            own = h["snapshot"]
+            if own not in referenced:
+                shutil.rmtree(
+                    os.path.join(self._table_dir(table), own), ignore_errors=True
+                )
             h["expired"] = True
         tmp = self._manifest_path(table) + ".tmp"
         with open(tmp, "w") as f:
@@ -271,6 +324,18 @@ class IcebergCatalog(_StageRunner):
             .using("iceberg")
             .option("snapshot-property.tabbyld-lineage", json.dumps(lineage or {}))
             .createOrReplace()
+        )
+        return self.manifest(table)["current"]
+
+    def append(self, df: DataFrame, table: str, lineage: dict | None = None) -> str:
+        """Iceberg-native append: new snapshot referencing prior data files
+        plus the delta — O(delta) write, atomic pointer swap."""
+        if not self.exists(table):
+            return self.write(df, table, lineage=lineage)
+        (
+            df.writeTo(self._ident(table))
+            .option("snapshot-property.tabbyld-lineage", json.dumps(lineage or {}))
+            .append()
         )
         return self.manifest(table)["current"]
 

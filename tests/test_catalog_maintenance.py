@@ -71,3 +71,66 @@ def test_expire_never_removes_current_even_at_keep_1(spark, tmp_path):
     cat.expire_snapshots("t", keep_last=1)
     assert cat.manifest("t")["current"] == s1
     assert cat.read(spark, "t").count() == 6
+
+
+# ---------------------------------------------------------------------------
+# append-style commits (the O(delta) ledger path — plans/incdedup.py)
+# ---------------------------------------------------------------------------
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k string, v long")
+
+
+def test_append_accretes_without_rewriting_prior_dirs(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path))
+    s0 = cat.write(_df(spark, [("a", 1), ("b", 2)]), "t")
+    dir0 = os.path.join(str(tmp_path), "t", s0)
+    before = {
+        f: os.path.getmtime(os.path.join(dir0, f)) for f in os.listdir(dir0)
+    }
+    s1 = cat.append(_df(spark, [("c", 3)]), "t")
+    # prior snapshot's files untouched — append wrote only the delta dir
+    after = {
+        f: os.path.getmtime(os.path.join(dir0, f)) for f in os.listdir(dir0)
+    }
+    assert after == before
+    got = {(r.k, r.v) for r in cat.read(spark, "t").collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 3)}
+    man = cat.manifest("t")
+    cur = next(h for h in man["history"] if h["snapshot"] == s1)
+    assert cur["dirs"] == [s0, s1] and cur["rows"] == 3
+    # time travel still sees the pre-append state
+    assert cat.read_at(spark, "t", s0).count() == 2
+
+
+def test_append_on_missing_table_is_initial_write(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.append(_df(spark, [("a", 1)]), "t")
+    assert cat.read(spark, "t").count() == 1
+
+
+def test_expire_keeps_dirs_referenced_by_append_snapshots(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path))
+    s0 = cat.write(_df(spark, [("a", 1)]), "t")
+    cat.append(_df(spark, [("b", 2)]), "t")
+    cat.append(_df(spark, [("c", 3)]), "t")
+    expired = cat.expire_snapshots("t", keep_last=1)
+    # s0/s1 snapshots expire, but their data dirs are REFERENCED by the
+    # current append snapshot — reachability keeps them on disk
+    assert len(expired) == 2
+    assert os.path.isdir(os.path.join(str(tmp_path), "t", s0))
+    assert cat.read(spark, "t").count() == 3
+
+
+def test_compact_consolidates_append_chain(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write(_df(spark, [("a", 1)]), "t")
+    cat.append(_df(spark, [("b", 2)]), "t")
+    snap = cat.compact(spark, "t", target_rows_per_file=10)
+    man = cat.manifest("t")
+    cur = next(h for h in man["history"] if h["snapshot"] == snap)
+    assert cur["dirs"] == [snap] and cur["rows"] == 2  # single-dir again
+    # now the old chain is unreferenced and fully reclaimable
+    cat.expire_snapshots("t", keep_last=1)
+    assert cat.read(spark, "t").count() == 2

@@ -64,3 +64,39 @@ def test_normalization_matches_exact_dedup(spark, tmp_path):
         spark, cat, _batch(spark, [("b", "hello world")]), "b2"
     )
     assert r.accepted.count() == 0 and r.n_ledger_dupes == 1
+
+
+def test_output_can_be_written_before_ledger_commit(spark, tmp_path):
+    # crash-ordering contract (plans/incdedup.py): job.py writes the
+    # accepted rows FIRST, then commits the ledger as the final atomic
+    # step via commit_ledger — a crash in between leaves the batch fully
+    # re-runnable (ledger still at the prior snapshot)
+    from tabbyld_spark.plans.incdedup import commit_ledger
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    b = _batch(spark, [("a", "x"), ("b", "x"), ("c", "y")])
+    r = dedup_against_ledger(spark, cat, b, "b1", commit=False)
+    out = str(tmp_path / "out.parquet")
+    r.accepted.write.mode("overwrite").parquet(out)
+    # simulated crash HERE: ledger untouched, batch re-runs cleanly
+    assert not cat.exists("content_ledger")
+    r2 = dedup_against_ledger(spark, cat, b, "b1", commit=False)
+    assert {x.doc_id for x in r2.accepted.collect()} == {"a", "c"}
+    # the completed run commits last; a resubmit then accepts nothing
+    snap = commit_ledger(spark, cat, r2)
+    assert snap is not None and r2.ledger_snapshot == snap
+    assert {x.doc_id for x in spark.read.parquet(out).collect()} == {"a", "c"}
+    r3 = dedup_against_ledger(spark, cat, b, "b1-retry")
+    assert r3.accepted.count() == 0
+
+
+def test_ledger_commits_are_append_snapshots(spark, tmp_path):
+    # each batch commit must write O(batch) — an append snapshot
+    # referencing the prior dirs — not a full ledger rewrite
+    cat = SnapshotCatalog(str(tmp_path))
+    dedup_against_ledger(spark, cat, _batch(spark, [("a", "x")]), "b1")
+    r = dedup_against_ledger(spark, cat, _batch(spark, [("b", "y")]), "b2")
+    man = cat.manifest("content_ledger")
+    cur = next(h for h in man["history"] if h["snapshot"] == r.ledger_snapshot)
+    assert len(cur["dirs"]) == 2  # prior snapshot's dir + this batch's delta
+    assert cur["lineage"]["append_rows"] == 1

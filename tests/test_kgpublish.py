@@ -90,3 +90,47 @@ def test_publish_without_checks_or_ontology(spark, tmp_path, clean_triples):
     res = publish_kg(spark, cat, clean_triples, compact_target_rows=None)
     assert res.n_derived == 0 and res.compacted_snapshot is None
     assert cat.read(spark, "kg_triples").count() == 5
+
+
+def test_range_rule_cannot_mask_dangling_references(spark, tmp_path):
+    # e:ghost is referenced by p but described nowhere.  rdfs3 (range p C)
+    # mints (e:ghost, rdf:type, C), making it a SUBJECT of the saturated
+    # graph — a gate that checked saturation would pass this broken
+    # snapshot.  The gate must run danglers against the INPUT triples.
+    cat = SnapshotCatalog(str(tmp_path))
+    tri = _tri(spark, [("e:a", "p", "e:ghost"), ("e:a", "rdf:type", "C")])
+    rng = spark.createDataFrame([("p", "C")], "pred string, cls string")
+    with pytest.raises(KGPublishError) as ei:
+        publish_kg(
+            spark,
+            cat,
+            tri,
+            range_=rng,
+            entity_prefix="e:",
+            entity_prefixes=("e:",),
+            compact_target_rows=None,
+        )
+    assert any(
+        v["check"] == "dangling" and v["key"] == "e:ghost"
+        for v in ei.value.violations
+    )
+    assert not cat.exists("kg_triples")
+
+
+def test_functional_and_disjoint_still_gate_the_saturated_graph(spark, tmp_path):
+    # property inheritance (rdfs7) makes q inherit p's edges; q is declared
+    # functional, so the violation only exists on the SATURATED graph —
+    # proving those checks did not move to the input side
+    cat = SnapshotCatalog(str(tmp_path))
+    tri = _tri(
+        spark,
+        [("e:a", "p", "e:b"), ("e:a", "q", "e:c"),
+         ("e:b", "rdf:type", "C"), ("e:c", "rdf:type", "C")],
+    )
+    sp = spark.createDataFrame([("p", "q")], "child string, parent string")
+    with pytest.raises(KGPublishError) as ei:
+        publish_kg(
+            spark, cat, tri, subproperty=sp, functional_preds=("q",),
+            compact_target_rows=None,
+        )
+    assert any(v["check"] == "functional" for v in ei.value.violations)
