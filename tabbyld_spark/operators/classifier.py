@@ -10,9 +10,11 @@ the same determinism contract hogwild SGD cannot give:
 * features: the hashed word unigram+bigram counts of
   ``importance.hashed_ngram_counts`` (engine-portable md5 buckets);
 * training: FULL-BATCH gradient descent on L2-regularized logistic loss,
-  fixed iteration count and learning rate.  The weight vector is
-  bucket-sized (thousands of floats), so it lives DRIVER-SIDE and enters
-  each iteration's plan as a literal map — no weight join, no per-round
+  fixed iteration count and learning rate.  The weight vector lives
+  DRIVER-SIDE and enters each iteration either as a literal map (small
+  models — no join at all) or, past ``weight_literal_max`` touched
+  weights, as a broadcast-joined (bucket, w) frame so the Catalyst plan
+  stays O(1) in the bucket count; no per-round
   lineage cut; one iteration is exactly ONE Spark action (the doc-grain
   margin aggregate, the residual join, and the bucket-grain gradient all
   execute inside the single job that collects the ≤``n_buckets``+1
@@ -74,13 +76,28 @@ def train_text_classifier(
     n_iters: int = 30,
     lr: float = 0.5,
     l2: float = 1e-4,
+    weight_literal_max: int = 10_000,
 ) -> TextClassifier:
     """Fit logistic regression on hashed n-gram counts → TextClassifier.
 
     ``label_col`` is 0/1.  Feature counts are L1-normalized per document
     (the fastText convention — long documents must not dominate the
     gradient), and the learning rate is scaled by 1/n_docs inside the
-    gradient, so ``lr`` transfers across corpus sizes."""
+    gradient, so ``lr`` transfers across corpus sizes.
+
+    Featureless docs (empty/whitespace text) still train the intercept:
+    each contributes a zero-feature SENTINEL row, so its residual enters
+    the intercept gradient exactly as in the pinned numpy reference —
+    ``n_docs`` and the residual sum always agree on the same population.
+
+    Count-gated weight transport: while the touched-weight count is at most
+    ``weight_literal_max`` the vector enters the plan as a ``create_map``
+    literal (zero join, the cheapest shape for the few-thousand-bucket
+    default); past the gate each iteration materializes the weights as a
+    broadcast-joined (bucket, w) frame instead — plan size stays O(1) in
+    the bucket count, which is what a fastText-realistic 10⁶-bucket model
+    needs (a 10⁶-entry literal map breaks codegen long before data size
+    matters).  Same math, same single action per iteration either way."""
     from pyspark.sql import Window
 
     sess = docs.sparkSession
@@ -90,29 +107,47 @@ def train_text_classifier(
     raw = hashed_ngram_counts(docs, n_buckets, text_col, id_col)
     doc_tot = raw.groupBy("doc_id").agg(F.sum("cnt").alias("tot"))
     # labels ride the cached feature rows: iterations never join or re-read
-    feats = cut(
+    featful = (
         raw.join(doc_tot, "doc_id")
         .join(labeled, "doc_id")
         .select(
             "doc_id", "bucket", (F.col("cnt") / F.col("tot")).alias("cnt"), "y"
         )
     )
+    # featureless docs: one sentinel row each (bucket -2, cnt 0) — margin is
+    # the bare intercept, the bucket gradient gets cnt·r = 0, and the
+    # intercept gradient gets the doc's full residual (nrows = 1)
+    sentinel = (
+        labeled.join(raw.select("doc_id").distinct(), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit(-2).cast("long").alias("bucket"),
+            F.lit(0.0).alias("cnt"),
+            "y",
+        )
+    )
+    feats = cut(featful.unionByName(sentinel))
     n_docs = labeled.count()
     win = Window.partitionBy("doc_id")
     w: dict[int, float] = {}
     intercept = 0.0
     for _ in range(int(n_iters)):
-        if w:
+        staged_src = feats
+        if not w:
+            wexpr = F.lit(0.0)
+        elif len(w) <= int(weight_literal_max):
             pairs = [x for k, v in sorted(w.items()) for x in (F.lit(k), F.lit(v))]
             wm = F.create_map(*pairs)
             wexpr = F.coalesce(F.try_element_at(wm, F.col("bucket")), F.lit(0.0))
         else:
-            wexpr = F.lit(0.0)
-        # doc margin via a window over the feature rows (no join), residual
-        # per row, then ONE bucket-grain aggregate collects the gradient —
-        # the intercept gradient rides as a sentinel bucket, each row
-        # contributing its doc's residual divided by the doc's row count
-        staged = feats.select(
+            wdf = sess.createDataFrame(sorted(w.items()), "bucket long, _w double")
+            staged_src = feats.join(F.broadcast(wdf), "bucket", "left")
+            wexpr = F.coalesce(F.col("_w"), F.lit(0.0))
+        # doc margin via a window over the feature rows (no corpus join),
+        # residual per row, then ONE bucket-grain aggregate collects the
+        # gradient — the intercept gradient rides as a sentinel bucket, each
+        # row contributing its doc's residual divided by the doc's row count
+        staged = staged_src.select(
             "bucket",
             "cnt",
             "y",
@@ -143,6 +178,8 @@ def train_text_classifier(
         for r_ in rows:
             if r_["bucket"] == -1:
                 b0 = float(r_["g"] or 0.0)
+            elif r_["bucket"] == -2:
+                pass  # featureless-doc sentinel: cnt·r ≡ 0, no weight exists
             else:
                 g_by_bucket[int(r_["bucket"])] = float(r_["g"] or 0.0)
         decay = 1.0 - lr * l2

@@ -116,3 +116,59 @@ def test_featureless_docs_score_intercept(spark, labeled):
     out = score_text_classifier(empty, model).collect()
     for r in out:
         assert r.margin == pytest.approx(model.intercept)
+
+
+def test_featureless_docs_enter_intercept_gradient(spark):
+    # the numpy reference includes an empty doc's residual in the intercept
+    # update (its margin is the bare intercept); the Spark trainer must fit
+    # the identical model when the training set contains featureless docs
+    rows = (
+        [(i, t, 1) for i, t in enumerate(POS[:4])]
+        + [(100 + i, t, 0) for i, t in enumerate(NEG[:4])]
+        + [(200, "", 0), (201, None, 1), (202, "   ", 0)]
+    )
+    labeled = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    model = train_text_classifier(
+        labeled, n_buckets=N_BUCKETS, n_iters=8, lr=0.5, l2=1e-3
+    )
+    w_ref, b_ref = _ref_train(
+        [(t, l) for _, t, l in rows], n_iters=8, lr=0.5, l2=1e-3
+    )
+    got = {r.bucket: r.w for r in model.weights.collect()}
+    for k in range(N_BUCKETS):
+        assert got.get(k, 0.0) == pytest.approx(w_ref[k], abs=1e-10), k
+    assert model.intercept == pytest.approx(b_ref, abs=1e-10)
+
+
+def test_broadcast_join_weight_path_matches_literal_path(spark, labeled):
+    # weight_literal_max=0 forces every post-first iteration through the
+    # broadcast-join transport; the fitted model must be identical to the
+    # literal-map path (and to the numpy reference) to 1e-10
+    lit = train_text_classifier(
+        labeled, n_buckets=N_BUCKETS, n_iters=10, lr=0.5, l2=1e-3
+    )
+    join = train_text_classifier(
+        labeled, n_buckets=N_BUCKETS, n_iters=10, lr=0.5, l2=1e-3,
+        weight_literal_max=0,
+    )
+    wl = {r.bucket: r.w for r in lit.weights.collect()}
+    wj = {r.bucket: r.w for r in join.weights.collect()}
+    assert set(wl) == set(wj)
+    for k in wl:
+        assert wl[k] == pytest.approx(wj[k], abs=1e-10), k
+    assert lit.intercept == pytest.approx(join.intercept, abs=1e-10)
+
+
+def test_gated_path_runs_at_1e5_buckets(spark, labeled):
+    # fastText-realistic bucket count: the literal map would be a 10^5-entry
+    # plan expression; the gate must route through the broadcast join and
+    # still separate held-out docs
+    model = train_text_classifier(
+        labeled, n_buckets=100_000, n_iters=6, lr=1.0, weight_literal_max=1000
+    )
+    held = spark.createDataFrame(
+        [(1000, "a careful study of science"), (1001, "casino bonus spins")],
+        "doc_id long, text string",
+    )
+    probs = {r.doc_id: r.prob for r in score_text_classifier(held, model).collect()}
+    assert probs[1000] > probs[1001]
