@@ -41,7 +41,9 @@ RDF_TYPE = "rdf:type"
 
 
 def _closure_pairs(
-    edges: DataFrame | None, driver_max: int = 100_000
+    edges: DataFrame | None,
+    driver_max: int = 100_000,
+    driver_max_pairs: int = 2_000_000,
 ) -> DataFrame | None:
     """(child, parent) edges → strict-ancestor pairs (depth ≥ 1).
 
@@ -51,7 +53,14 @@ def _closure_pairs(
     pairs, none of the iterative loop's ~2-jobs-per-round latency (the
     dominant cost of q_rdfs_entail was two such loops over <10 edges).
     Larger hierarchies take :func:`closure.subclass_closure`'s
-    O(log diameter) distributed doubling unchanged."""
+    O(log diameter) distributed doubling unchanged.
+
+    The edge gate alone cannot bound the MEMORY of the driver path: a deep
+    hierarchy's closure is O(V × avg-ancestors) pairs — 100k edges can
+    close to 10⁸⁺ pairs (a driver OOM) while passing the edge gate.  So
+    the closure build also aborts to the distributed path the moment the
+    accumulated pair set exceeds ``driver_max_pairs`` (identical output
+    either way; the abort costs only the partial build)."""
     if edges is None:
         return None
     sess = edges.sparkSession
@@ -61,6 +70,7 @@ def _closure_pairs(
         for r in edges.collect():
             adj.setdefault(r["child"], set()).add(r["parent"])
         pairs: set[tuple[str, str]] = set()
+        overflow = False
         for start in adj:
             seen: set[str] = set()
             stack = list(adj[start])
@@ -71,9 +81,13 @@ def _closure_pairs(
                 seen.add(p)
                 stack.extend(adj.get(p, ()))
             pairs.update((start, p) for p in seen)
-        return sess.createDataFrame(
-            sorted(pairs), "child string, parent string"
-        )
+            if len(pairs) > int(driver_max_pairs):
+                overflow = True  # closure outgrew the driver — go distributed
+                break
+        if not overflow:
+            return sess.createDataFrame(
+                sorted(pairs), "child string, parent string"
+            )
     return (
         subclass_closure(edges)
         .filter(F.col("depth") >= 1)

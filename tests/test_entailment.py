@@ -86,3 +86,21 @@ def test_derived_excludes_already_present_and_is_idempotent(spark):
 def test_no_ontology_means_no_derivations(spark):
     tri = _tri(spark, [("a", "p", "b")])
     assert rdfs_entailment(tri).count() == 0
+
+
+def test_closure_pairs_aborts_to_distributed_when_closure_outgrows_driver(spark):
+    # a 60-node chain passes the EDGE gate trivially (59 edges) but its
+    # closure is 59·60/2 = 1770 pairs; with driver_max_pairs=100 the build
+    # must abort mid-way to the distributed doubling — identical pairs
+    from tabbyld_spark.operators.entailment import _closure_pairs
+
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(59)],
+        "child string, parent string",
+    )
+    bounded = _closure_pairs(edges, driver_max=100_000, driver_max_pairs=100)
+    unbounded = _closure_pairs(edges, driver_max=100_000)
+    got_b = {(r.child, r.parent) for r in bounded.collect()}
+    got_u = {(r.child, r.parent) for r in unbounded.collect()}
+    assert len(got_u) == 59 * 60 // 2
+    assert got_b == got_u
