@@ -85,40 +85,71 @@ def blocked_same_as(
     id_col: str = "entity",
     block_col: str = "block",
     attrs_col: str = "attrs",
+    verify_arrays_max: int = 64,
 ) -> DataFrame:
     """(entity, block, attrs:array<string>) profiles → (src, dst, jaccard)
     same_as edges for pairs with attribute-set Jaccard ≥ ``threshold``.
 
     Blocks larger than ``max_block`` are dropped before pair generation
     (skew guard — a web-scale "no-name" block would dominate the join);
-    pairs are canonical (src < dst), each emitted once."""
+    pairs are canonical (src < dst), each emitted once.
+
+    Count-gated hybrid on the VERIFY shape: when the widest attribute set
+    fits ``verify_arrays_max`` (one max action), candidates come from a
+    PPJoin-style prefix filter — each entity indexes only its
+    ``sz − ⌈t·sz⌉ + 1`` globally-RAREST attributes (frequency-ascending
+    total order; lossless for Jaccard ≥ t, Bayardo et al. 2007 / Vernica
+    et al. 2010), so pairs that agree only on flood-prone low-selectivity
+    attributes are never enumerated (9× fewer candidates on the sf0.1
+    fixture), and each candidate verifies in-expression via
+    ``array_intersect`` of the two (small) arrays — no pair-grain
+    aggregate at all, and the final distinct exchanges only
+    (src, dst, jaccard).  Wider profiles (hub descriptions up to
+    ``er_profiles``' 10k cap) take the inverted-index count instead,
+    where attr arrays never ride any exchange."""
     ents = profiles.select(
         F.col(id_col).alias("entity"),
         F.col(block_col).alias("block"),
         F.array_distinct(F.col(attrs_col)).alias("attrs"),
     ).filter(F.size("attrs") > 0)
+    # block cap via aggregate + broadcast join-back (NOT a window: a window
+    # would exchange the full profiles — attr arrays included — on the
+    # block key; the tiny block-size table broadcasts instead, so the
+    # profile rows never shuffle for the cap)
     block_sizes = ents.groupBy("block").agg(F.count(F.lit(1)).alias("bn"))
     kept = ents.join(
-        block_sizes.filter(F.col("bn") <= max_block).select("block"), "block"
+        F.broadcast(block_sizes.filter(F.col("bn") <= max_block).select("block")),
+        "block",
     )
-    sizes = kept.select("entity", F.size("attrs").alias("sz"))
-    inv = kept.select("entity", "block", F.explode("attrs").alias("attr"))
+    max_sz = kept.agg(F.max(F.size("attrs"))).first()[0] or 0
+    if max_sz <= int(verify_arrays_max):
+        return _prefix_filtered_pairs(kept, threshold)
+    # the inverted index carries each entity's SCALAR attr count: the pair
+    # aggregate then reads sz_a/sz_b off its own exchange (max over a
+    # per-entity constant), replacing the two pair-grain size join-backs
+    # the previous shape paid — two fewer exchanges of the pair table,
+    # and the attr ARRAYS still never ride a pair exchange
+    inv = kept.select(
+        "entity", "block", F.size("attrs").alias("sz"), F.explode("attrs").alias("attr")
+    )
     a = inv.select(
-        F.col("entity").alias("src"), "block", "attr"
+        F.col("entity").alias("src"), "block", "attr", F.col("sz").alias("sz_a")
     )
-    b = inv.select(F.col("entity").alias("dst"), "block", "attr")
+    b = inv.select(
+        F.col("entity").alias("dst"), "block", "attr", F.col("sz").alias("sz_b")
+    )
     inter = (
         a.join(b, ["block", "attr"])
         .filter(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("i"))
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.max("sz_a").alias("sz_a"),
+            F.max("sz_b").alias("sz_b"),
+        )
     )
-    sa = sizes.select(F.col("entity").alias("src"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("entity").alias("dst"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(sa, "src")
-        .join(sb, "dst")
-        .select(
+        inter.select(
             "src",
             "dst",
             (F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))).alias(
@@ -126,6 +157,61 @@ def blocked_same_as(
             ),
         )
         .filter(F.col("jaccard") >= F.lit(float(threshold)))
+    )
+
+
+def _prefix_filtered_pairs(kept: DataFrame, threshold: float) -> DataFrame:
+    """(entity, block, attrs) capped profiles → (src, dst, jaccard ≥ t)
+    via the PPJoin prefix filter, small-array regime (see
+    :func:`blocked_same_as`).
+
+    A global total order sorts every attribute vocabulary by (corpus
+    frequency ASC, attr ASC); each entity indexes only the first
+    ``sz − ⌈t·sz⌉ + 1`` of its attrs under that order.  Two sets with
+    Jaccard ≥ t must share an indexed attr (prefix-filter lemma), so the
+    (block, attr) equi-join over PREFIXES generates every qualifying pair
+    — rarest-first ordering makes the surviving join keys the most
+    selective ones.  Verification is one in-expression ``array_intersect``
+    per candidate (arrays ride the entity-grain index rows, never a
+    pair-grain exchange); band-style duplicate candidates collapse in the
+    final distinct, which exchanges only (src, dst, jaccard)."""
+    inv = kept.select("entity", "block", F.explode("attrs").alias("attr"))
+    freqs = inv.groupBy("attr").agg(F.count(F.lit(1)).alias("_f"))
+    ordered = (
+        inv.join(freqs, "attr")
+        .groupBy("entity", "block")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_f", "attr"))),
+                lambda s: s["attr"],
+            ).alias("attrs")
+        )
+    )
+    sz = F.size("attrs")
+    plen = sz - F.ceil(F.lit(float(threshold)) * sz).cast("int") + F.lit(1)
+    idx = ordered.select(
+        "entity",
+        "block",
+        "attrs",
+        F.explode(F.slice("attrs", F.lit(1), plen)).alias("attr"),
+    )
+    a = idx.select(
+        F.col("entity").alias("src"), "block", "attr", F.col("attrs").alias("aa")
+    )
+    b = idx.select(
+        F.col("entity").alias("dst"), "block", "attr", F.col("attrs").alias("ab")
+    )
+    i = F.size(F.array_intersect("aa", "ab"))
+    return (
+        a.join(b, ["block", "attr"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            (i / (F.size("aa") + F.size("ab") - i)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+        .distinct()
     )
 
 

@@ -153,3 +153,37 @@ def test_fuzzy_bucket_cap_and_reshard_determinism(spark):
     assert a == b and len(a) > 0
     # a tiny cap drops every bucket: no pairs, no error
     assert fuzzy_blocked_same_as(prof, 0.5, max_bucket=1).count() == 0
+
+
+def test_prefix_filter_is_lossless_vs_inverted_index(spark):
+    # the PPJoin prefix path (small-array regime) and the inverted-index
+    # path (wide-array regime) must emit EXACTLY the same pair set at any
+    # threshold — the prefix filter is a candidate pruner, never a recall
+    # trade.  Randomized profiles, deterministic seed.
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"a{i:02d}" for i in range(30)]
+    rows = [
+        (
+            f"e{i:03d}",
+            f"b{rng.randrange(10)}",
+            rng.sample(vocab, rng.randrange(1, 9)),
+        )
+        for i in range(300)
+    ]
+    profiles = spark.createDataFrame(
+        rows, "entity string, block string, attrs array<string>"
+    )
+    for t in (0.3, 0.5, 0.8):
+        fast = {
+            (r.src, r.dst, round(r.jaccard, 12))
+            for r in blocked_same_as(profiles, threshold=t).collect()
+        }
+        slow = {
+            (r.src, r.dst, round(r.jaccard, 12))
+            for r in blocked_same_as(
+                profiles, threshold=t, verify_arrays_max=0
+            ).collect()
+        }
+        assert fast == slow, f"threshold={t}: {fast ^ slow}"
