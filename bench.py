@@ -71,7 +71,12 @@ def main() -> None:
         "q_sessions",
         "q_dsir",
         "q_bpe",
+        "q_bpe32k",
         "q_walks",
+        "q_triangles",
+        "q_er_fuzzy",
+        "q_classifier",
+        "q_incdedup",
         "q_webprep",
     ]
     registry = E.queries()
@@ -201,7 +206,108 @@ def main() -> None:
         )
         return random_walks(edges, walk_len=8, walks_per_node=4)
 
+    def _bpe32k_workload(spark, sf_dir):
+        # production-parameter tokenizer: 32k merges trained on a rich
+        # deterministic synthetic vocabulary (the documents corpus tops out
+        # near a few hundred mergeable pairs), encode via the Arrow greedy
+        # path over the documents corpus
+        import random
+
+        from tabbyld_spark.operators.bpe import apply_bpe, train_bpe
+
+        rng = random.Random(11)
+        types = [
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                    for _ in range(rng.randrange(3, 12)))
+            for _ in range(30_000)
+        ]
+        rich = spark.createDataFrame(
+            [(i, " ".join(
+                types[min(int(rng.expovariate(1.0) * 30_000 / 8), 29_999)]
+                for _ in range(40)))
+             for i in range(3000)],
+            "doc_id long, text string",
+        )
+        merges = train_bpe(rich, n_merges=32_000)
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return apply_bpe(d, merges).select("doc_id", "n_tokens")
+
+    def _triangles_workload(spark, sf_dir):
+        # per-node triangles/clustering over a 2000-node doc-derived graph
+        from pyspark.sql import functions as F
+
+        from tabbyld_spark.operators.graphrank import triangle_counts
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        edges = d.select(
+            (F.col("doc_id") % 2000).cast("string").alias("src"),
+            ((F.col("doc_id") * 7 + 3) % 2000).cast("string").alias("dst"),
+        ).unionByName(
+            d.select(
+                (F.col("doc_id") % 2000).cast("string").alias("src"),
+                ((F.col("doc_id") * 13 + 5) % 2000).cast("string").alias("dst"),
+            )
+        )
+        return triangle_counts(edges)
+
+    def _er_fuzzy_workload(spark, sf_dir):
+        # MinHash-band fuzzy blocking variant of entity resolution over the
+        # same part-profile shape as the q_entity_res registry entry
+        from pyspark.sql import functions as F
+
+        from tabbyld_spark.operators.entityres import fuzzy_blocked_same_as
+
+        p = spark.read.parquet(f"{sf_dir}/part.parquet")
+        profiles = p.select(
+            F.concat(F.lit("p:"), "p_partkey").alias("entity"),
+            F.lower(F.regexp_replace(F.trim("p_name"), r"\s+", " ")).alias("block"),
+            F.array(
+                F.concat(F.lit("br:"), "p_brand"),
+                F.concat(F.lit("ty:"), "p_type"),
+                F.concat(F.lit("sz:"), F.floor(F.col("p_size") / 10).cast("string")),
+                F.concat(F.lit("pr:"),
+                         F.floor(F.col("p_retailprice") / 500).cast("long").cast("string")),
+            ).alias("attrs"),
+        )
+        return fuzzy_blocked_same_as(profiles, threshold=0.5, max_bucket=400)
+
+    def _classifier_workload(spark, sf_dir):
+        # full train (doc_id%2 labels, 6 iters, 4096 buckets) + full-corpus
+        # scoring — the fastText-shape quality-filter path end-to-end
+        from pyspark.sql import functions as F
+
+        from tabbyld_spark.operators.classifier import (
+            score_text_classifier,
+            train_text_classifier,
+        )
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        lab = d.withColumn("label", (F.col("doc_id") % 2).cast("int"))
+        model = train_text_classifier(lab, n_iters=6)
+        return score_text_classifier(d, model)
+
+    def _incdedup_workload(spark, sf_dir):
+        # incremental ledger dedup: commit batch 1 (even docs), dedup the
+        # full corpus against the committed ledger; a fresh tmp catalog per
+        # call keeps the warm pass identical to the cold one
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from tabbyld_spark.plans.incdedup import dedup_against_ledger
+        from tabbyld_spark.sources.catalog import SnapshotCatalog
+
+        cat = SnapshotCatalog(tempfile.mkdtemp(prefix="bench-incdedup-"))
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        dedup_against_ledger(spark, cat, d.filter(F.col("doc_id") % 2 == 0), "b1")
+        return dedup_against_ledger(spark, cat, d, "b2", commit=False).accepted
+
     workloads = dict(registry)
+    workloads["q_bpe32k"] = _bpe32k_workload
+    workloads["q_triangles"] = _triangles_workload
+    workloads["q_er_fuzzy"] = _er_fuzzy_workload
+    workloads["q_classifier"] = _classifier_workload
+    workloads["q_incdedup"] = _incdedup_workload
     workloads["q_dsir"] = _dsir_workload
     workloads["q_bpe"] = _bpe_workload
     workloads["q_walks"] = _walks_workload

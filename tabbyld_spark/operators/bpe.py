@@ -32,16 +32,17 @@ independent pure-Python reference implementation in ``tests/test_bpe.py``
 twin; the per-round pair-count aggregation itself is trivially the same
 shape the twinned n-gram operators already prove out.
 
-``apply_bpe`` replays the merge list in rank order ONCE PER DISTINCT WORD
-(a word's segmentation depends only on the word — the same word-type trick
-as training; the folds are interpreted HOFs, so paying them per occurrence
-is the difference between seconds and hours at corpus scale), then maps
-occurrences through the encoded vocabulary: a single broadcast MAP value
-for bounded vocabularies (zero corpus shuffle), or posexplode + vocab
-equi-join + positional reassembly beyond that.  A production 50k-merge
-encode would still hop to an Arrow ``mapInPandas`` greedy encoder against
-broadcast merge ranks — the documented Python seam, same pattern as
-``multimodal.py``.
+``apply_bpe`` encodes ONCE PER DISTINCT WORD (a word's segmentation
+depends only on the word — the same word-type trick as training), then
+maps occurrences through the encoded vocabulary: a single broadcast MAP
+value for bounded vocabularies (zero corpus shuffle), or posexplode +
+vocab equi-join + positional reassembly beyond that.  The per-word encode
+itself is count-gated: an in-expression merge-replay fold for small merge
+lists (zero Python), and past ``expr_merges_max`` the Arrow
+``mapInPandas`` greedy encoder against broadcast merge ranks — the same
+executor-side-Python pattern as ``multimodal.py`` — which is what lets a
+production 32k–50k-merge tokenizer run (an O(n_merges)-deep expression
+chain breaks Catalyst long before data size matters).
 """
 
 from __future__ import annotations
@@ -118,37 +119,84 @@ def _fuse(syms: Column, left: str, right: str) -> Column:
     )
 
 
+def _merge_word(syms: list[str], left: str, right: str) -> list[str]:
+    """One merge applied left-to-right — the reference fold semantics."""
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == left and x == right:
+            out[-1] = left + right
+        else:
+            out.append(x)
+    return out
+
+
 def _train_driver_side(
     wf: list[tuple[str, int]], n_merges: int, min_pair_count: int
 ) -> list[tuple[str, str, int]]:
     """The same algorithm on a collected (word, freq) table — used when the
     vocabulary fits the driver (see train_bpe).  Deterministic tiebreak
-    identical to the distributed rounds."""
-    symtab = [(list(w) + [END_OF_WORD], f) for w, f in wf]
+    identical to the distributed rounds.
+
+    Incremental (the subword-nmt trainer shape): pair counts and a
+    pair→containing-words index are maintained under each merge — only the
+    words that CONTAIN the winning pair are re-segmented, and the winner
+    comes off a lazy max-heap keyed (count DESC, pair ASC), so a
+    production 32k-merge schedule is O(touched words) per round instead of
+    O(vocabulary) — the naive full-rescan loop is O(n_merges × vocab) and
+    cannot reach 32k merges in reasonable time.  Exact-output equivalence
+    with the naive loop is pinned in tests/test_bpe.py (same counts, same
+    tiebreak — the heap is an execution strategy, not a semantics
+    change)."""
+    import heapq
+    from collections import Counter
+
+    words = [list(w) + [END_OF_WORD] for w, _ in wf]
+    freqs = [f for _, f in wf]
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for idx, (syms, f) in enumerate(zip(words, freqs)):
+        for p in zip(syms, syms[1:]):
+            counts[p] = counts.get(p, 0) + f
+            where.setdefault(p, set()).add(idx)
+    # lazy heap: (-count, pair) tuples — heap min IS (count DESC, pair ASC);
+    # every count update pushes a fresh entry, stale entries are skipped on
+    # pop (entry count ≠ current count)
+    heap = [(-c, p) for p, c in counts.items()]
+    heapq.heapify(heap)
     merges: list[tuple[str, str, int]] = []
-    for _ in range(int(n_merges)):
-        counts: dict[tuple[str, str], int] = {}
-        for syms, f in symtab:
-            for a, b in zip(syms, syms[1:]):
-                counts[(a, b)] = counts.get((a, b), 0) + f
-        if not counts:
-            break
-        (left, right), count = min(
-            counts.items(), key=lambda kv: (-kv[1], kv[0])
-        )
+    while len(merges) < int(n_merges) and heap:
+        negc, p = heapq.heappop(heap)
+        count = -negc
+        if counts.get(p, 0) != count:
+            continue  # stale
         if count < min_pair_count:
             break
+        left, right = p
         merges.append((left, right, count))
-        new: list[tuple[list[str], int]] = []
-        for syms, f in symtab:
-            out: list[str] = []
-            for x in syms:
-                if out and out[-1] == left and x == right:
-                    out[-1] = left + right
-                else:
-                    out.append(x)
-            new.append((out, f))
-        symtab = new
+        touched: set[tuple[str, str]] = set()
+        for idx in where.get(p, set()).copy():
+            syms, f = words[idx], freqs[idx]
+            old = Counter(zip(syms, syms[1:]))
+            new_syms = _merge_word(syms, left, right)
+            new = Counter(zip(new_syms, new_syms[1:]))
+            words[idx] = new_syms
+            for q in old.keys() | new.keys():
+                d = new.get(q, 0) - old.get(q, 0)
+                if d == 0:
+                    continue
+                counts[q] = counts.get(q, 0) + d * f
+                touched.add(q)
+                if counts[q] <= 0:
+                    del counts[q]
+                    where.pop(q, None)
+                elif new.get(q, 0) > 0:
+                    where.setdefault(q, set()).add(idx)
+            for q in old.keys() - new.keys():
+                if q in where:
+                    where[q].discard(idx)
+        for q in touched:
+            if q in counts:
+                heapq.heappush(heap, (-counts[q], q))
     return merges
 
 
@@ -197,12 +245,70 @@ def train_bpe(
     return merges
 
 
+def _greedy_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy rank-priority BPE encode of one word — the huggingface/GPT-2
+    encode loop: repeatedly apply the LOWEST-RANKED pair present (all its
+    occurrences, left-to-right), until none remains.
+
+    For merge lists produced by BPE TRAINING this is exactly equivalent to
+    replaying every merge in rank order: a merge's two symbols must already
+    exist when it is learned, so any pair a merge round creates can only
+    involve symbols minted at lower ranks — the lowest-ranked pair present
+    is always the next one sequential replay would apply, and within one
+    rank the left-to-right pass matches the replay fold.  (Equality is
+    pinned against the expression path and the pure-Python reference in
+    tests/test_bpe.py.)  O(len²·log) per word against O(n_merges·len) for
+    replay — independent of vocabulary size, which is what makes a
+    32k-merge encode tractable."""
+    syms = list(word) + [END_OF_WORD]
+    while len(syms) > 1:
+        best_rank: int | None = None
+        best_pair: tuple[str, str] | None = None
+        for p in zip(syms, syms[1:]):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, p
+        if best_pair is None:
+            break
+        syms = _merge_word(syms, best_pair[0], best_pair[1])
+    return syms
+
+
+def _encode_vocab_arrow(
+    vocab: DataFrame, merges: list[tuple[str, str, int]] | list[tuple[str, str]]
+) -> DataFrame:
+    """(word) vocabulary table → (word, toks) via the Arrow ``mapInPandas``
+    greedy encoder — the production path for realistic merge counts, where
+    the expression-chain replay would be an O(n_merges)-deep Catalyst plan
+    (codegen/analysis limits break near a few hundred merges, a 32k-merge
+    tokenizer is ~100× past that).  The merge ranks broadcast once per
+    executor; per-batch work is pure Python over word TYPES (vocabulary
+    grain — the corpus never enters Python), Arrow both ways."""
+    ranks = {(m[0], m[1]): i for i, m in enumerate(merges)}
+    bc = vocab.sparkSession.sparkContext.broadcast(ranks)
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        r = bc.value
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "toks": [_greedy_encode_word(w, r) for w in pdf["word"]],
+                }
+            )
+
+    return vocab.mapInPandas(encode_batches, "word string, toks array<string>")
+
+
 def apply_bpe(
     docs: DataFrame,
     merges: list[tuple[str, str, int]] | list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
     map_vocab_max: int = 100_000,
+    expr_merges_max: int = 96,
 ) -> DataFrame:
     """→ (doc_id, tokens, n_tokens): segment every document with the
     trained merges.  Tokens from different words never fuse: each word
@@ -221,6 +327,14 @@ def apply_bpe(
     * larger vocab: posexplode occurrences, equi-join the encoded
       vocabulary (Catalyst broadcasts it while it fits), reassemble in
       position order — one doc-grain shuffle, never a per-occurrence fold.
+
+    Count-gated ENCODE shape: up to ``expr_merges_max`` merges the replay
+    is an in-expression ``_fuse`` chain (whole-stage codegen, zero
+    Python); past the gate — production tokenizers run 32k–50k merges,
+    where an O(n_merges)-deep expression tree breaks codegen/analysis —
+    the vocabulary encodes through the Arrow greedy encoder
+    (:func:`_encode_vocab_arrow`), exact-output-identical by the rank
+    argument on :func:`_greedy_encode_word`.
     """
 
     def _encode_word(w: Column) -> Column:
@@ -231,7 +345,10 @@ def apply_bpe(
 
     base = docs.select(F.col(id_col).alias("doc_id"), _words(text_col).alias("ws"))
     vocab = base.select(F.explode("ws").alias("word")).distinct()
-    enc = vocab.select("word", _encode_word(F.col("word")).alias("toks"))
+    if len(merges) <= int(expr_merges_max):
+        enc = vocab.select("word", _encode_word(F.col("word")).alias("toks"))
+    else:
+        enc = _encode_vocab_arrow(vocab, merges)
     n_vocab = enc.count()
     if n_vocab <= int(map_vocab_max):
         vocab_map = enc.agg(
