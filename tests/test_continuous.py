@@ -42,9 +42,18 @@ def crawl_files(kg):
 
 
 def _write_warcs(files, d):
+    # the file stream source orders by modification time, and which url wins
+    # a duplicated content is first-arrival semantics — pin distinct
+    # ascending mtimes so both runs see the identical crawl order (real
+    # crawl segments arrive minutes apart; same-ms ties are a test artifact)
+    import os
+
     d.mkdir()
+    base = 1_700_000_000
     for i, recs in enumerate(files):
-        (d / f"part-{i}.warc").write_bytes(render_warc(recs))
+        p = d / f"part-{i}.warc"
+        p.write_bytes(render_warc(recs))
+        os.utime(p, (base + 60 * i, base + 60 * i))
     return str(d)
 
 
@@ -77,11 +86,23 @@ def _run(spark, kg_spark, files, tmp_path, name, fail_at_commit=None, monkeypatc
             return real(spark_, catalog_, res_)
 
         monkeypatch.setattr(continuous, "commit_ledger", flaky)
-        with pytest.raises(Exception, match="injected"):
+        # the injected error fails the streaming query; how the wrapper
+        # exception surfaces (StreamingQueryException chains, py4j wrapping)
+        # varies with timing, so assert the KILL itself, not its packaging
+        with pytest.raises(Exception):
             run_crawl_cycle_once(
                 spark, warc_dir, ckpt, out, cat, kg_spark, max_files_per_trigger=2
             )
+        assert calls["n"] == fail_at_commit
         monkeypatch.setattr(continuous, "commit_ledger", real)
+        # let the failed query finish tearing down before reusing its
+        # checkpoint — a still-active handle races the resumed query
+        for q in spark.streams.active:
+            q.stop()
+            try:
+                q.awaitTermination(30)
+            except Exception:
+                pass
         # maintenance interleaves with the half-finished crawl: compact the
         # ledger's append chain BEFORE resuming the stream
         assert cat.exists("content_ledger")
