@@ -126,7 +126,17 @@ def train_text_classifier(
             "y",
         )
     )
-    feats = cut(featful.unionByName(sentinel))
+    # pre-shape the cached rows for the per-iteration doc window: hash
+    # partition + sort on doc_id ONCE before the cut (the cut preserves
+    # partitioning and ordering — functions/lineage.py), so every
+    # iteration's Window.partitionBy("doc_id") reads the cached blocks
+    # without its own exchange+sort; at n_iters=30 that removes 30
+    # shuffles of the feature rows
+    feats = cut(
+        featful.unionByName(sentinel)
+        .repartition("doc_id")
+        .sortWithinPartitions("doc_id")
+    )
     n_docs = labeled.count()
     win = Window.partitionBy("doc_id")
     w: dict[int, float] = {}
