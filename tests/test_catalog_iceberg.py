@@ -61,3 +61,17 @@ def test_iceberg_roundtrip_and_resume(iceberg_spark, tmp_path):  # pragma: no co
     assert len(calls) == 1
     cat.drop("t")
     cat.drop("s1")
+
+
+def test_iceberg_append_accretes(iceberg_spark, tmp_path):  # pragma: no cover
+    # append = native Iceberg append snapshot (O(delta) commit); initial
+    # append on a missing table is the create
+    from pyspark.sql import functions as F
+
+    cat = IcebergCatalog()
+    df = iceberg_spark.range(4).withColumn("v", F.col("id") * 3)
+    cat.append(df, "t_app", lineage={"op": "b1"})
+    cat.append(iceberg_spark.range(4, 6).withColumn("v", F.col("id") * 3), "t_app")
+    assert cat.read(iceberg_spark, "t_app").count() == 6
+    man = cat.manifest("t_app")
+    assert man["history"][-1]["rows"] == 6

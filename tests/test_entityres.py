@@ -175,7 +175,9 @@ def test_prefix_filter_is_lossless_vs_inverted_index(spark):
     profiles = spark.createDataFrame(
         rows, "entity string, block string, attrs array<string>"
     )
-    for t in (0.3, 0.5, 0.8):
+    # 0.1 ≈ full-prefix regime, 1.0 = single-rarest-attr prefixes (only
+    # identical sets qualify — they share every attr incl. the rarest)
+    for t in (0.1, 0.3, 0.5, 0.8, 1.0):
         fast = {
             (r.src, r.dst, round(r.jaccard, 12))
             for r in blocked_same_as(profiles, threshold=t).collect()
