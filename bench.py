@@ -74,6 +74,7 @@ def main() -> None:
         "q_bpe32k",
         "q_walks",
         "q_triangles",
+        "q_semdedup",
         "q_er_fuzzy",
         "q_classifier",
         "q_incdedup",
@@ -250,6 +251,14 @@ def main() -> None:
         )
         return triangle_counts(edges)
 
+    def _semdedup_workload(spark, sf_dir):
+        # SemDeDup cluster-then-prune over the embeddings table (k-means +
+        # within-cluster cosine groups + components collapse)
+        from tabbyld_spark.operators.dedup import semantic_dedup
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return semantic_dedup(e, threshold=0.2, n_clusters=16)
+
     def _er_fuzzy_workload(spark, sf_dir):
         # MinHash-band fuzzy blocking variant of entity resolution over the
         # same part-profile shape as the q_entity_res registry entry
@@ -305,6 +314,7 @@ def main() -> None:
     workloads = dict(registry)
     workloads["q_bpe32k"] = _bpe32k_workload
     workloads["q_triangles"] = _triangles_workload
+    workloads["q_semdedup"] = _semdedup_workload
     workloads["q_er_fuzzy"] = _er_fuzzy_workload
     workloads["q_classifier"] = _classifier_workload
     workloads["q_incdedup"] = _incdedup_workload

@@ -1,11 +1,13 @@
 """Deduplication operators for a large-scale training-data pipeline.
 
-Five strategies, cheapest to richest:
+Six strategies, cheapest to richest:
   * exact           hash-groupBy on the text fingerprint (one shuffle)
   * n-gram Jaccard  shingle explode → inverted-index self-join → set overlap
   * MinHash-LSH     pyspark.ml MinHashLSH band-bucket blocking (approx)
   * SimHash         portable 32-bit simhash from md5 hex digits (no UDF)
-  * embedding       cosine near-dup over array<float> vectors
+  * embedding       cosine near-dup over array<float> vectors (LSH-blocked)
+  * SemDeDup        k-means cluster → within-cluster cosine groups → one
+                    representative per group (cluster-bounded quadratic)
 
 All shuffles key on content-derived hashes (uniform by construction); the
 shingle inverted index drops ultra-frequent shingles (document-frequency cap)
@@ -595,4 +597,100 @@ def remove_duplicate_spans(
         "doc_id",
         F.array_join(F.transform(kept, lambda z: z.t), " ").alias("text"),
         (F.size("t") - F.size(kept)).cast("long").alias("n_removed_tokens"),
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 10_000,
+    salt: int = 1,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — cluster-then-prune
+    semantic dedup: → (id, cluster, group, keep), ``keep`` true for the one
+    representative of each within-cluster cosine-similarity group.
+
+    The third embedding-dedup method beside the quadratic baseline
+    (:func:`embedding_dedup_pairs`) and hyperplane-LSH blocking
+    (:func:`embedding_dedup_pairs_blocked`), and the one the paper showed
+    scales to web corpora: a deterministic Lloyd k-means
+    (``similarity.train_centroids`` — the same codebook machinery as the
+    IVF index) partitions the embedding space, pairs are enumerated only
+    WITHIN a cluster (equi-join on ``centroid`` — the quadratic term is
+    bounded by ``max_cluster``² per cluster, never |corpus|²), cosine is
+    verified in-expression on the join output, and similarity groups are
+    closed with the salted connected components so transitive near-dup
+    chains collapse to ONE representative (component = min id — the same
+    deterministic winner rule as :func:`exact_dedup`).
+
+    Skew guard semantics: clusters larger than ``max_cluster`` keep ALL
+    their members (keep=true, group=self) — dedup coverage degrades on a
+    pathological cluster, data is never silently dropped (the conservative
+    direction for a dedup operator; the ER ``max_block`` guard makes the
+    same call).  Vectors ride exactly one centroid-grain exchange; the
+    pair-grain output carries only (src, dst) into the components step.
+
+    Determinism: seeds, assignment argmax tiebreak, decimal centroid
+    means, and the min-id winner are all pure functions of the input set —
+    retries, re-shards, and re-runs keep the identical survivor set
+    (pytest vs ``repartition``; cluster-scoped semantics pinned against a
+    brute-force union-find reference at n_clusters=1)."""
+    from tabbyld_spark.functions.lineage import cut
+    from tabbyld_spark.operators.components import connected_components
+    from tabbyld_spark.operators.similarity import _assign_centroid, train_centroids
+
+    cents = train_centroids(
+        emb, n_centroids=n_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    # assignment feeds the size guard, both pair sides, and the final
+    # labeling — cut once (the multi-consumer rule)
+    assigned = cut(
+        _assign_centroid(
+            emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+            cents,
+            "_v",
+        )
+    )
+    sizes = assigned.groupBy("centroid").agg(F.count(F.lit(1)).alias("cn"))
+    ok = assigned.join(
+        F.broadcast(
+            sizes.filter(F.col("cn") <= int(max_cluster)).select("centroid")
+        ),
+        "centroid",
+    )
+    a = ok.select(F.col("_id").alias("src"), "centroid", F.col("_v").alias("va"))
+    b = ok.select(F.col("_id").alias("dst"), "centroid", F.col("_v").alias("vb"))
+    edges = (
+        a.join(b, "centroid")
+        .filter(F.col("src") < F.col("dst"))
+        .withColumn("cos", cosine("va", "vb"))
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+        .select("src", "dst")
+    )
+    # count gate: a clean corpus (or clean partition of one) yields zero
+    # similarity edges — skip the iterative components loop entirely and
+    # label everything its own group (identical output, none of the
+    # ~2-jobs-per-round latency on nothing)
+    edges = cut(edges)
+    if edges.limit(1).count() == 0:
+        return assigned.select(
+            F.col("_id").alias(id_col),
+            F.col("centroid").alias("cluster"),
+            F.col("_id").alias("group"),
+            F.lit(True).alias("keep"),
+        )
+    comp = connected_components(edges, salt=salt)
+    return (
+        assigned.select("_id", "centroid")
+        .join(comp.withColumnRenamed("node", "_id"), "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("centroid").alias("cluster"),
+            F.coalesce("component", F.col("_id")).alias("group"),
+            (F.coalesce("component", F.col("_id")) == F.col("_id")).alias("keep"),
+        )
     )

@@ -105,43 +105,32 @@ def _assign_centroid(df: DataFrame, cents: DataFrame, vec_col: str) -> DataFrame
     )
 
 
-def ivf_topk(
+def train_centroids(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     n_centroids: int = 16,
-    n_probe: int = 4,
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: Lloyd k-means over the corpus
-    (seeded from a deterministic hash order of ids), then each query scores
-    only the n_probe nearest cells.  Recall rises with n_probe; n_probe ==
-    n_centroids degenerates to exact brute force.
-
-    Scale shape: the expensive rescore join is an equi-join on ``centroid``
-    — at 10^9 vectors the corpus side is bucketed/partitioned by centroid on
-    disk and each probe reads n_probe/n_centroids of the data, not all of it.
-    """
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    # deterministic seeding: first n_centroids ids in md5 order
+    """Deterministic Lloyd k-means → (centroid, c_vec) codebook.  Seeds are
+    the first ``n_centroids`` ids in md5 order (pure function of the id
+    set); each iteration is one zero-shuffle in-expression assignment plus
+    one coordinate-grain mean.  Shared by :func:`ivf_topk` (the index
+    coarse quantizer) and ``dedup.semantic_dedup`` (the SemDeDup cluster
+    stage)."""
+    c = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias(vec_col))
     seeds = (
-        c.withColumn("_h", F.md5(F.col("neighbor_id").cast("string")))
+        c.withColumn("_h", F.md5(F.col("_id").cast("string")))
         .orderBy("_h")
         .limit(n_centroids)
         .select(
-            F.row_number()
-            .over(Window.orderBy("_h"))
-            .alias("centroid"),
-            F.col("cv").alias("c_vec"),
+            F.row_number().over(Window.orderBy("_h")).alias("centroid"),
+            F.col(vec_col).alias("c_vec"),
         )
     )
     cents = seeds
-    for _ in range(n_iter):
-        assigned = _assign_centroid(
-            c.withColumnRenamed("cv", vec_col), cents, vec_col
-        )
+    for _ in range(int(n_iter)):
+        assigned = _assign_centroid(c, cents, vec_col)
         # element-wise mean per centroid: posexplode → mean per coordinate →
         # rebuild the array in coordinate order.  The sum runs over an exact
         # DECIMAL cast, not float avg: float addition is order-dependent, so
@@ -167,6 +156,32 @@ def ivf_topk(
                 ).alias("c_vec")
             )
         )
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: Lloyd k-means over the corpus
+    (seeded from a deterministic hash order of ids), then each query scores
+    only the n_probe nearest cells.  Recall rises with n_probe; n_probe ==
+    n_centroids degenerates to exact brute force.
+
+    Scale shape: the expensive rescore join is an equi-join on ``centroid``
+    — at 10^9 vectors the corpus side is bucketed/partitioned by centroid on
+    disk and each probe reads n_probe/n_centroids of the data, not all of it.
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    cents = train_centroids(
+        corpus, n_centroids=n_centroids, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
     inv = _assign_centroid(
         c.withColumnRenamed("cv", vec_col), cents, vec_col
     ).select("neighbor_id", F.col(vec_col).alias("cv"), "centroid")

@@ -148,3 +148,114 @@ def test_decontaminate_counts_distinct_grams(spark):
     out = decontaminate(docs, bench, n=4).collect()[0]
     # distinct shared grams: "a b c d" (once, despite 2 occurrences) + "b c d e"
     assert out["shared_grams"] == 2
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (cluster-then-prune semantic dedup)
+# ---------------------------------------------------------------------------
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_collapses_groups_keeps_min_id(spark):
+    from tabbyld_spark.operators.dedup import semantic_dedup
+
+    # two tight direction-groups plus an outlier; n_clusters=1 makes the
+    # semantics global so the expectation is unambiguous
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),       # ~same direction as 1
+        (5, [0.998, 0.02, 0.0]),       # chained near-dup of 2 (transitive)
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.01, 0.999, 0.0]),      # ~same direction as 10
+        (20, [0.0, 0.0, 1.0]),         # singleton
+    ]
+    out = {
+        r.vec_id: (r.group, r.keep)
+        for r in semantic_dedup(
+            _vecs(spark, rows), threshold=0.99, n_clusters=1
+        ).collect()
+    }
+    assert out[1] == (1, True) and out[2] == (1, False) and out[5] == (1, False)
+    assert out[10] == (10, True) and out[11] == (10, False)
+    assert out[20] == (20, True)
+
+
+def test_semantic_dedup_matches_brute_force_union_find(spark):
+    from tabbyld_spark.functions.vectors import cosine as _cos
+    from tabbyld_spark.operators.dedup import embedding_dedup_pairs, semantic_dedup
+
+    # n_clusters=1 => cluster-scoped == global: survivors must equal a
+    # union-find over the brute-force cosine pair set, min-id winners
+    import random
+
+    rng = random.Random(9)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    emb = _vecs(spark, [(i, [float(x) for x in v]) for i, v in rows])
+    t = 0.8
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_dedup_pairs(emb, threshold=t).collect()
+    }
+    parent = {i: i for i, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i, _ in rows}
+    got = {
+        r.vec_id: r.group
+        for r in semantic_dedup(emb, threshold=t, n_clusters=1).collect()
+    }
+    assert got == want
+    keeps = {
+        r.vec_id
+        for r in semantic_dedup(emb, threshold=t, n_clusters=1).collect()
+        if r.keep
+    }
+    assert keeps == {v for v in want.values()}
+
+
+def test_semantic_dedup_oversized_cluster_keeps_everything(spark):
+    from tabbyld_spark.operators.dedup import semantic_dedup
+
+    rows = [(i, [1.0, float(i) * 1e-4]) for i in range(10)]  # all near-dups
+    out = semantic_dedup(
+        _vecs(spark, rows), threshold=0.99, n_clusters=1, max_cluster=5
+    ).collect()
+    # cluster of 10 > cap 5: conservative keep-all, groups are self
+    assert all(r.keep for r in out) and all(r.group == r.vec_id for r in out)
+
+
+def test_semantic_dedup_deterministic_under_resharding(spark):
+    from tabbyld_spark.operators.dedup import semantic_dedup
+
+    import random
+
+    rng = random.Random(3)
+    emb = _vecs(
+        spark,
+        [(i, [float(rng.uniform(-1, 1)) for _ in range(6)]) for i in range(80)],
+    )
+    a = sorted(
+        (r.vec_id, r.cluster, r.group, r.keep)
+        for r in semantic_dedup(emb, threshold=0.7, n_clusters=4).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.cluster, r.group, r.keep)
+        for r in semantic_dedup(
+            emb.repartition(13), threshold=0.7, n_clusters=4
+        ).collect()
+    )
+    assert a == b
