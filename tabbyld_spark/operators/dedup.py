@@ -694,3 +694,62 @@ def semantic_dedup(
             (F.coalesce("component", F.col("_id")) == F.col("_id")).alias("keep"),
         )
     )
+
+
+def semantic_decontaminate(
+    emb: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic complement
+    to the n-gram :func:`decontaminate`: → (id, nearest_benchmark,
+    max_cos, contaminated) flagging corpus vectors whose cosine to ANY
+    benchmark vector reaches ``threshold`` (paraphrased eval leakage that
+    shares no n-gram).
+
+    Pure composition: the benchmark side (KBs of eval data vs TBs of
+    corpus) is the IVF corpus — its k-means codebook models exactly the
+    region of space where contamination can occur — and every corpus
+    vector probes its ``n_probe`` nearest cells (``similarity.ivf_topk``
+    at k=1).  ``n_probe == n_centroids`` degenerates to exact brute force
+    against the benchmark; recall at lower probe counts follows the IVF
+    recall contract the driver already gates (``q_ann_recall``).  Ids are
+    namespaced internally so corpus/benchmark id collisions never drop a
+    self-pair."""
+    from tabbyld_spark.operators.similarity import ivf_topk
+
+    c = emb.select(
+        F.concat(F.lit("c:"), F.col(id_col).cast("string")).alias(id_col),
+        F.col(vec_col),
+    )
+    b = benchmark.select(
+        F.concat(F.lit("b:"), F.col(id_col).cast("string")).alias(id_col),
+        F.col(vec_col),
+    )
+    top = ivf_topk(
+        b,
+        c,
+        k=1,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        n_iter=n_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).filter(F.col("rank") == 1)
+    return (
+        c.select(F.col(id_col).alias("query_id"))
+        .join(top, "query_id", "left")
+        .select(
+            F.expr("substring(query_id, 3)").alias(id_col),
+            F.expr("substring(neighbor_id, 3)").alias("nearest_benchmark"),
+            F.coalesce("cos", F.lit(-1.0)).alias("max_cos"),
+            (F.coalesce("cos", F.lit(-1.0)) >= F.lit(float(threshold))).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -259,3 +259,68 @@ def test_semantic_dedup_deterministic_under_resharding(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_semantic_decontaminate_flags_paraphrase_leakage(spark):
+    from tabbyld_spark.operators.dedup import semantic_decontaminate
+
+    bench = _vecs(spark, [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])])
+    corpus = _vecs(
+        spark,
+        [
+            (1, [0.999, 0.01, 0.0]),   # near bench#1 — and SAME numeric id:
+                                        # the internal namespacing must not
+                                        # drop this as a self-pair
+            (7, [0.0, 0.998, 0.02]),   # near bench#2
+            (8, [0.0, 0.0, 1.0]),      # clean
+        ],
+    )
+    # n_probe == n_centroids == exact brute force against the benchmark
+    out = {
+        r.vec_id: (r.nearest_benchmark, r.contaminated)
+        for r in semantic_decontaminate(
+            corpus, bench, threshold=0.99, n_centroids=2, n_probe=2
+        ).collect()
+    }
+    assert out["1"] == ("1", True)
+    assert out["7"] == ("2", True)
+    assert out["8"][1] is False
+
+
+def test_semantic_decontaminate_deterministic_and_cos_exact(spark):
+    import math
+    import random
+
+    from tabbyld_spark.operators.dedup import semantic_decontaminate
+
+    rng = random.Random(17)
+    bench = _vecs(
+        spark, [(i, [float(rng.uniform(-1, 1)) for _ in range(6)]) for i in range(5)]
+    )
+    corpus = _vecs(
+        spark,
+        [(i, [float(rng.uniform(-1, 1)) for _ in range(6)]) for i in range(40)],
+    )
+    out = semantic_decontaminate(
+        corpus, bench, threshold=0.9, n_centroids=5, n_probe=5
+    )
+    a = sorted((r.vec_id, r.nearest_benchmark, round(r.max_cos, 9)) for r in out.collect())
+    b = sorted(
+        (r.vec_id, r.nearest_benchmark, round(r.max_cos, 9))
+        for r in semantic_decontaminate(
+            corpus.repartition(7), bench, threshold=0.9, n_centroids=5, n_probe=5
+        ).collect()
+    )
+    assert a == b and len(a) == 40
+    # exhaustive probe ⇒ max_cos is the exact max cosine to the benchmark
+    bv = {r.vec_id: r.embedding for r in bench.collect()}
+    cv = {r.vec_id: r.embedding for r in corpus.collect()}
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        nu = math.sqrt(sum(x * x for x in u)); nv = math.sqrt(sum(x * x for x in v))
+        return d / (nu * nv) if nu and nv else 0.0
+
+    for vid, _, got in a:
+        want = max(cos(cv[int(vid)], v) for v in bv.values())
+        assert abs(got - want) < 1e-6, vid
