@@ -74,6 +74,7 @@ def main() -> None:
         "q_bpe32k",
         "q_walks",
         "q_triangles",
+        "q_lpa",
         "q_semdedup",
         "q_er_fuzzy",
         "q_classifier",
@@ -251,6 +252,25 @@ def main() -> None:
         )
         return triangle_counts(edges)
 
+    def _lpa_workload(spark, sf_dir):
+        # community detection over the same 2000-node doc-derived graph as
+        # q_triangles (synchronous deterministic label propagation)
+        from pyspark.sql import functions as F
+
+        from tabbyld_spark.operators.graphrank import label_propagation
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        edges = d.select(
+            (F.col("doc_id") % 2000).cast("string").alias("src"),
+            ((F.col("doc_id") * 7 + 3) % 2000).cast("string").alias("dst"),
+        ).unionByName(
+            d.select(
+                (F.col("doc_id") % 2000).cast("string").alias("src"),
+                ((F.col("doc_id") * 13 + 5) % 2000).cast("string").alias("dst"),
+            )
+        )
+        return label_propagation(edges, iterations=4)
+
     def _semdedup_workload(spark, sf_dir):
         # SemDeDup cluster-then-prune over the embeddings table (k-means +
         # within-cluster cosine groups + components collapse)
@@ -314,6 +334,7 @@ def main() -> None:
     workloads = dict(registry)
     workloads["q_bpe32k"] = _bpe32k_workload
     workloads["q_triangles"] = _triangles_workload
+    workloads["q_lpa"] = _lpa_workload
     workloads["q_semdedup"] = _semdedup_workload
     workloads["q_er_fuzzy"] = _er_fuzzy_workload
     workloads["q_classifier"] = _classifier_workload

@@ -204,3 +204,85 @@ def triangle_counts(
             .alias("clustering"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    cut_every: int = 2,
+) -> DataFrame:
+    """Community detection by semi-synchronous label propagation →
+    (node, community) over the UNDIRECTED simple graph — the third
+    curation signal beside PageRank (global salience) and clustering
+    coefficients (local density): communities group hosts/entities that
+    interlink more among themselves than outward (Raghavan et al. 2007,
+    "Near linear time algorithm to detect community structures").
+
+    The repo's determinism contract forces two deviations from the
+    classic randomized LPA, both standard:
+
+    * SYNCHRONOUS rounds with a FIXED iteration count — every node
+      updates from the same previous-round labels, so the result is a
+      pure function of (edges, iterations) with no visit-order
+      dependence (the usual Pregel formulation);
+    * deterministic vote: a node takes the label with the highest
+      neighbor count, ties → smallest label, and the node's OWN current
+      label votes once too (self-vote damps the 2-cycle oscillation
+      synchronous LPA is known for on bipartite-ish structures).
+
+    Scale shape (mirrors :func:`pagerank`): the symmetrized edge set is
+    the big loop-invariant side, hash-partitioned by node once before the
+    loop; each iteration joins the (node, label) frame to it, counts
+    (node, label) votes with map-side partial aggregation — a celebrity
+    node's million votes reach a reducer as one partial per map partition
+    — and takes the argmax in-expression via one ``max_by``-style struct
+    aggregate (no window, no second exchange).  Lineage cuts every
+    ``cut_every`` rounds bound plan depth exactly as the other iterative
+    operators do.
+
+    Exact-output equality vs an independent pure-Python reference is
+    pinned in tests/test_graph_ops.py (the iterative-op contract)."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    labels = cut(labels)
+    n_nodes = labels.count()  # exact; also sizes the loop's stages
+    with loop_shuffle_width(und.sparkSession, n_nodes):
+        und = cut(und.repartition("a"))
+        for i in range(int(iterations)):
+            nbr_votes = (
+                und.join(labels.withColumnRenamed("node", "b"), "b")
+                .groupBy(F.col("a").alias("node"), "label")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            self_votes = labels.select("node", "label", F.lit(1).alias("n"))
+            votes = (
+                nbr_votes.unionByName(self_votes)
+                .groupBy("node", "label")
+                .agg(F.sum("n").alias("n"))
+            )
+            # argmax by (n desc, label asc) in ONE aggregate: max over a
+            # struct whose second field inverts the label order via a
+            # monotone-descending sort key is not expressible for arbitrary
+            # string labels, so use min over (-n, label) instead
+            labels = (
+                votes.groupBy("node")
+                .agg(
+                    F.min(
+                        F.struct((-F.col("n")).alias("neg"), F.col("label"))
+                    ).alias("w")
+                )
+                .select("node", F.col("w.label").alias("label"))
+            )
+            if (i + 1) % int(cut_every) == 0:
+                labels = cut(labels)
+        labels = cut(labels)  # materialize inside the narrowed width
+    return labels.select("node", F.col("label").alias("community"))

@@ -194,3 +194,96 @@ def test_triangle_counts_matches_bruteforce_and_hub_guard(spark):
     got2 = {r.node: r.triangles for r in capped.collect()}
     for n in nodes:  # original triangles unchanged once the hub is dropped
         assert got2.get(n, 0) == got.get(n, 0), n
+
+
+# ---------------------------------------------------------------------------
+# label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+
+def _ref_lpa(edge_list, iterations):
+    # independent pure-Python reference: synchronous rounds, self-vote,
+    # (count desc, label asc) tiebreak — the operator's documented contract
+    adj = {}
+    for a, b in edge_list:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {v: v for v in adj}
+    for _ in range(iterations):
+        new = {}
+        for v in adj:
+            votes = {}
+            votes[labels[v]] = votes.get(labels[v], 0) + 1
+            for u in adj[v]:
+                votes[labels[u]] = votes.get(labels[u], 0) + 1
+            new[v] = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_reference(spark):
+    import random
+
+    from tabbyld_spark.operators.graphrank import label_propagation
+
+    rng = random.Random(13)
+    nodes = [f"n{i:02d}" for i in range(40)]
+    edge_list = sorted(
+        {
+            tuple(sorted(rng.sample(nodes, 2)))
+            for _ in range(120)
+        }
+    )
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    for iters in (1, 3, 6):
+        got = {
+            r.node: r.community
+            for r in label_propagation(edges, iterations=iters).collect()
+        }
+        assert got == _ref_lpa(edge_list, iters), iters
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    from tabbyld_spark.operators.graphrank import label_propagation
+
+    # two 4-cliques joined by one bridge edge: each clique converges to
+    # its own min-id label
+    def clique(prefix):
+        ids = [f"{prefix}{i}" for i in range(4)]
+        return [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+
+    edges = spark.createDataFrame(
+        clique("a") + clique("b") + [("a0", "b0")], "src string, dst string"
+    )
+    got = {
+        r.node: r.community
+        for r in label_propagation(edges, iterations=6).collect()
+    }
+    assert {got[f"a{i}"] for i in range(4)} == {"a0"}
+    assert {got[f"b{i}"] for i in range(1, 4)} == {"b0"}
+
+
+def test_label_propagation_deterministic_under_resharding(spark):
+    import random
+
+    from tabbyld_spark.operators.graphrank import label_propagation
+
+    rng = random.Random(5)
+    edge_list = sorted(
+        {
+            (f"v{rng.randrange(30)}", f"v{rng.randrange(30)}")
+            for _ in range(80)
+        }
+    )
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    a = sorted(
+        (r.node, r.community)
+        for r in label_propagation(edges, iterations=4).collect()
+    )
+    b = sorted(
+        (r.node, r.community)
+        for r in label_propagation(edges.repartition(11), iterations=4).collect()
+    )
+    assert a == b
